@@ -1,0 +1,9 @@
+from .layers import (
+    ConvNd, ConvTransposeNd, InstanceNorm, BatchNorm, NoiseBlock,
+    ParameterizedNoiseBlock, center_crop, crop_to_factor, get_activation,
+    make_norm, max_pool_nd, interpolate, nearest_upsample, instance_norm,
+)
+from .unet import ConvPass, ConvDownsample, MaxDownsample, Upsample, UNet, ResidualUNet
+from .resnet import ResNet, ResnetBlock, resnet_valid_output_shape
+from .discriminator import NLayerDiscriminator, NLayerDiscriminator2D, NLayerDiscriminator3D
+from .utils import init_weights, param_count, probe_output_shape, valid_context

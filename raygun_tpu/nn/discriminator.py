@@ -1,0 +1,108 @@
+"""PatchGAN discriminators (2D/3D/N-D) — flax, channels-last.
+
+Capability parity with reference
+``src/raygun/torch/networks/NLayerDiscriminator.py``: k=4 stride-2 conv
+stack with explicit padding 1, channel doubling capped at 8×ngf, two stride-1
+tail convs, 1-channel prediction map; bias rules follow the norm choice
+(bias only with instance norm — batch norm carries its own affine bias).
+The default 3D configuration reproduces the reference's exact parameter
+count (11,048,769; reference ``nlayerdiscriminator_test.py:62-66``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+from flax import linen as nn
+
+from .layers import Array, ConvNd, get_activation, make_norm
+from .unet import _apply_norm
+
+
+class NLayerDiscriminator(nn.Module):
+    """N-D PatchGAN. ``ndims`` ∈ {2, 3} (parity with the reference
+    dispatcher, ValueError otherwise)."""
+
+    ndims: int
+    input_nc: int = 1
+    ngf: int = 64
+    n_layers: int = 3
+    norm: Union[str, None, Callable] = "batch"
+    kw: int = 4
+    downsampling_kw: Optional[int] = None
+
+    def __post_init__(self):
+        if self.ndims not in (2, 3):
+            raise ValueError(
+                self.ndims, "Only 2D or 3D currently implemented. Feel free to contribute more!"
+            )
+        super().__post_init__()
+
+    @property
+    def fov(self) -> int:
+        """Receptive field of one output neuron (parity with reference
+        ``NLayerDiscriminator.py:79-97``)."""
+        ds_kw = self.downsampling_kw or self.kw
+        k = [ds_kw] + [ds_kw] * (self.n_layers - 1) + [self.kw, self.kw]
+        s = [2] + [2] * (self.n_layers - 1) + [1, 1]
+        r = 1
+        for l in range(len(k) - 1, 0, -1):
+            r = s[l] * r + (k[l] - s[l])
+        return r
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        nd = self.ndims
+        norm_ctor = make_norm(self.norm)
+        norm_name = self.norm if isinstance(self.norm, str) else "none"
+        use_bias = self.norm is None or norm_name.startswith("instance") or norm_name == "none"
+        lrelu = get_activation("leakyrelu")
+        ds_kw = self.downsampling_kw or self.kw
+
+        h = ConvNd(
+            features=self.ngf, kernel_size=(ds_kw,) * nd, strides=2, padding=1,
+            name="conv_0",
+        )(x)
+        h = lrelu(h)
+
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2**n, 8)
+            h = ConvNd(
+                features=self.ngf * nf_mult,
+                kernel_size=(ds_kw,) * nd,
+                strides=2,
+                padding=1,
+                use_bias=use_bias,
+                name=f"conv_{n}",
+            )(h)
+            if norm_ctor is not None:
+                h = _apply_norm(norm_ctor, h, train)
+            h = lrelu(h)
+
+        nf_mult = min(2**self.n_layers, 8)
+        h = ConvNd(
+            features=self.ngf * nf_mult,
+            kernel_size=(self.kw,) * nd,
+            strides=1,
+            padding=1,
+            use_bias=use_bias,
+            name=f"conv_{self.n_layers}",
+        )(h)
+        if norm_ctor is not None:
+            h = _apply_norm(norm_ctor, h, train)
+        h = lrelu(h)
+
+        h = ConvNd(
+            features=1, kernel_size=(self.kw,) * nd, strides=1, padding=1,
+            name="conv_out",
+        )(h)
+        return h
+
+
+class NLayerDiscriminator2D(NLayerDiscriminator):
+    ndims: int = 2
+
+
+class NLayerDiscriminator3D(NLayerDiscriminator):
+    ndims: int = 3

@@ -1,0 +1,316 @@
+"""Shared N-D building blocks for the network zoo.
+
+Layout convention: **channels-last** ``(batch, *spatial, channels)`` — the
+layout XLA:TPU prefers for convolutions (feeds the MXU without transposes).
+The reference uses torch channels-first (e.g. ``UNet.py``,
+``NLayerDiscriminator.py``); shape parity tests transpose accordingly.
+
+All padding semantics mirror the reference's torch conventions so that valid
+receptive-field math (and therefore blockwise stitching) is identical:
+  * ``"valid"``  — no padding.
+  * ``"same"``   — symmetric ``(k-1)//2`` pad with a fill mode
+    (reflect/replicate/zeros), stride-1 only.
+  * integer ``p`` — explicit p-per-side padding (PatchGAN uses p=1 with k=4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+_PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zeros": "constant", "wrap": "wrap"}
+
+
+def get_activation(activation: Union[str, Callable, None]) -> Callable[[Array], Array]:
+    """Resolve an activation by torch-style name or callable (parity with
+    reference ``UNet.py:41-47`` string lookup)."""
+    if activation is None:
+        return lambda x: x
+    if callable(activation):
+        return activation
+    name = activation.lower()
+    table = {
+        "relu": nn.relu,
+        "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=0.2),
+        "sigmoid": nn.sigmoid,
+        "tanh": nn.tanh,
+        "gelu": nn.gelu,
+        "elu": nn.elu,
+        "silu": nn.silu,
+        "swish": nn.silu,
+        "identity": lambda x: x,
+        "softplus": nn.softplus,
+    }
+    if name in table:
+        return table[name]
+    raise ValueError(f"unknown activation {activation!r}")
+
+
+def instance_norm(x: Array, epsilon: float = 1e-5) -> Array:
+    """Per-sample, per-channel normalization over spatial dims.
+
+    Matches torch ``InstanceNormNd`` defaults (affine=False,
+    track_running_stats=False) used throughout the reference generators
+    (``ResNet.py`` norm_layer default)."""
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + epsilon)
+
+
+class InstanceNorm(nn.Module):
+    """Module wrapper so norm layers are uniform; optionally affine."""
+
+    affine: bool = False
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        y = instance_norm(x, self.epsilon)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with running stats (torch affine=True parity: scale+bias).
+
+    ``train=True`` uses batch statistics and updates the ``batch_stats``
+    collection; ``train=False`` uses the running averages — mirroring the
+    train/eval norm-mode switching the reference does in
+    ``networks/utils.py:set_norm_mode`` (incl. the ``fix_norms`` freeze)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        norm = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=None,
+        )
+        return norm(x)
+
+
+def make_norm(norm: Union[str, None, Callable]) -> Optional[Callable[[], nn.Module]]:
+    """Factory: 'instance' | 'batch' | 'group' | None → norm module ctor."""
+    if norm is None:
+        return None
+    if callable(norm) and not isinstance(norm, str):
+        return norm
+    name = norm.lower()
+    if name in ("instance", "instancenorm", "instancenorm2d", "instancenorm3d"):
+        return InstanceNorm
+    if name in ("batch", "batchnorm", "batchnorm2d", "batchnorm3d"):
+        return BatchNorm
+    if name in ("group", "groupnorm"):
+        return lambda: nn.GroupNorm(num_groups=8)
+    if name in ("none", "identity"):
+        return None
+    raise ValueError(f"unknown norm {norm!r}")
+
+
+def _norm_tuple(v, ndims: int) -> Tuple[int, ...]:
+    if isinstance(v, int):
+        return (v,) * ndims
+    t = tuple(int(x) for x in v)
+    assert len(t) == ndims
+    return t
+
+
+def pad_spatial(x: Array, pad: Sequence[Tuple[int, int]], mode: str = "reflect") -> Array:
+    """Pad only the spatial dims of a channels-last tensor."""
+    if all(lo == 0 and hi == 0 for lo, hi in pad):
+        return x
+    full = [(0, 0)] + list(pad) + [(0, 0)]
+    return jnp.pad(x, full, mode=_PAD_MODES[mode])
+
+
+class ConvNd(nn.Module):
+    """N-D convolution with torch-parity padding semantics (see module doc)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: Union[str, int] = "valid"  # 'valid' | 'same' | int
+    padding_mode: str = "zeros"
+    use_bias: bool = True
+    feature_group_count: int = 1
+    kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nd = len(self.kernel_size)
+        strides = _norm_tuple(self.strides, nd)
+        pad_arg = "VALID"
+        if isinstance(self.padding, int):
+            p = self.padding
+            if p > 0:
+                if self.padding_mode == "zeros":
+                    pad_arg = [(p, p)] * nd
+                else:
+                    x = pad_spatial(x, [(p, p)] * nd, self.padding_mode)
+        elif self.padding.lower() == "same":
+            pads = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in self.kernel_size]
+            if self.padding_mode == "zeros":
+                pad_arg = pads
+            else:
+                x = pad_spatial(x, pads, self.padding_mode)
+        elif self.padding.lower() != "valid":
+            raise ValueError(f"unknown padding {self.padding!r}")
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=strides,
+            padding=pad_arg,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvTransposeNd(nn.Module):
+    """N-D transposed convolution with torch output-shape semantics:
+    ``out = (in-1)*stride - 2*padding + kernel + output_padding``.
+
+    Implemented as a VALID fractionally-strided conv followed by static crops
+    — all shapes static so XLA tiles it onto the MXU."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Union[int, Sequence[int]] = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nd = len(self.kernel_size)
+        strides = _norm_tuple(self.strides, nd)
+        y = nn.ConvTranspose(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=strides,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+        p, op = self.padding, self.output_padding
+        if p > 0 or op > 0:
+            lo, hi = p, p - op
+            assert hi >= 0, "output_padding must be <= padding in this implementation"
+            sl = (slice(None),) + tuple(
+                slice(lo, y.shape[1 + d] - hi) for d in range(nd)
+            ) + (slice(None),)
+            y = y[sl]
+        return y
+
+
+def center_crop(x: Array, target_spatial: Sequence[int]) -> Array:
+    """Center-crop spatial dims of a channels-last tensor (parity with
+    reference ``UNet.py`` ``crop``)."""
+    nd = len(target_spatial)
+    spatial = x.shape[-nd - 1:-1]
+    offsets = [(s - t) // 2 for s, t in zip(spatial, target_spatial)]
+    sl = (
+        (slice(None),) * (x.ndim - nd - 1)
+        + tuple(slice(o, o + t) for o, t in zip(offsets, target_spatial))
+        + (slice(None),)
+    )
+    return x[sl]
+
+
+def crop_to_factor(
+    x: Array, factor: Sequence[int], kernel_sizes: Sequence[Sequence[int]]
+) -> Array:
+    """Crop feature maps so that after the following convolutions the result
+    shape is a multiple of the total upsampling factor — the translation-
+    equivariance guarantee valid U-Nets need for seam-free blockwise
+    stitching (contract from reference ``UNet.py:275-325``)."""
+    nd = len(factor)
+    spatial = x.shape[-nd - 1:-1]
+    conv_crop = tuple(sum(ks[d] - 1 for ks in kernel_sizes) for d in range(nd))
+    ns = [int(math.floor(float(s - c) / f)) for s, c, f in zip(spatial, conv_crop, factor)]
+    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
+    if target != tuple(spatial):
+        assert all(t > c for t, c in zip(target, conv_crop)), (
+            f"feature map {spatial} too small for factor {factor} and convs {kernel_sizes}"
+        )
+        return center_crop(x, target)
+    return x
+
+
+class NoiseBlock(nn.Module):
+    """Append one channel of unit gaussian noise (parity with reference
+    ``networks/utils.py:84-94``); PRNG comes from the 'noise' rng stream."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        shape = x.shape[:-1] + (1,)
+        noise = jax.random.normal(self.make_rng("noise"), shape, dtype=x.dtype)
+        return jnp.concatenate([x, noise], axis=-1)
+
+
+class ParameterizedNoiseBlock(nn.Module):
+    """Append gaussian noise with mean/σ given by the first two channels
+    (parity with reference ``networks/utils.py:97-105``)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mean = x[..., 0:1]
+        std = nn.relu(x[..., 1:2])
+        noise = mean + std * jax.random.normal(
+            self.make_rng("noise"), mean.shape, dtype=x.dtype
+        )
+        return jnp.concatenate([x, noise], axis=-1)
+
+
+def max_pool_nd(x: Array, factor: Sequence[int]) -> Array:
+    """MaxPool with window=stride=factor, VALID (floors remainders — matches
+    torch MaxPoolNd default used by reference ``MaxDownsample``)."""
+    nd = len(factor)
+    window = (1,) + tuple(factor) + (1,)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, window, window, "VALID",
+    )
+
+
+def interpolate(x: Array, scale_factor=None, size=None, method: str = "linear") -> Array:
+    """Spatial resize of a channels-last tensor; 'linear' matches torch
+    bilinear/trilinear align_corners=False closely enough for the sampling
+    bottleneck (reference ``CycleModel.py:27-34``). Use method='nearest' for
+    constant upsampling."""
+    nd = x.ndim - 2
+    spatial = x.shape[1:-1]
+    if size is None:
+        assert scale_factor is not None
+        sf = _norm_tuple(scale_factor, nd) if not isinstance(scale_factor, (int, float)) else (scale_factor,) * nd
+        size = tuple(int(round(s * f)) for s, f in zip(spatial, sf))
+    new_shape = (x.shape[0],) + tuple(size) + (x.shape[-1],)
+    jax_method = {"linear": "linear", "bilinear": "linear", "trilinear": "linear", "nearest": "nearest", "cubic": "cubic"}[method]
+    return jax.image.resize(x, new_shape, method=jax_method)
+
+
+def nearest_upsample(x: Array, factor: Sequence[int]) -> Array:
+    """Exact nearest-neighbor upsampling by integer factors (repeat)."""
+    for d, f in enumerate(factor):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=1 + d)
+    return x

@@ -1,0 +1,216 @@
+"""Johnson-style ResNet generators (2D/3D/N-D) — flax, channels-last.
+
+Capability parity with reference ``src/raygun/torch/networks/ResNet.py``:
+7-wide stem with reflect/replicate/zeros/valid padding, strided-conv
+downsampling, residual blocks (with valid-crop skip), optional noise
+injection before upsampling, transposed-conv upsampling, 7-wide head.
+Valid-padding FOV math matches the reference exactly (128³→17³ with the
+default n_blocks=6 / n_downsampling=2 — reference ``resnet_test.py:80-96``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    Array,
+    ConvNd,
+    ConvTransposeNd,
+    NoiseBlock,
+    ParameterizedNoiseBlock,
+    center_crop,
+    get_activation,
+    make_norm,
+    pad_spatial,
+)
+from .unet import _apply_norm
+
+
+class ResnetBlock(nn.Module):
+    """Two 3^nd convs with skip connection; 'valid' crops the skip to match
+    (reference ``ResNet.py:127-223`` / ``:347-443``)."""
+
+    dim: int
+    ndims: int
+    padding_type: str = "reflect"
+    norm: Union[str, None, Callable] = "instance"
+    use_dropout: bool = False
+    use_bias: bool = True
+    activation: Union[str, Callable, None] = "relu"
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        act = get_activation(self.activation)
+        norm_ctor = make_norm(self.norm)
+        pt = self.padding_type.lower()
+        nd = self.ndims
+
+        def block_conv(h, name):
+            if pt in ("reflect", "same"):
+                h = pad_spatial(h, [(1, 1)] * nd, "reflect")
+                pad = "valid"
+            elif pt == "replicate":
+                h = pad_spatial(h, [(1, 1)] * nd, "replicate")
+                pad = "valid"
+            elif pt == "zeros":
+                pad = 1
+            elif pt == "valid":
+                pad = "valid"
+            else:
+                raise NotImplementedError(f"padding [{pt}] is not implemented")
+            return ConvNd(
+                features=self.dim,
+                kernel_size=(3,) * nd,
+                padding=pad,
+                use_bias=self.use_bias,
+                name=name,
+            )(h)
+
+        h = block_conv(x, "conv1")
+        if norm_ctor is not None:
+            h = _apply_norm(norm_ctor, h, train)
+        h = act(h)
+        if self.use_dropout:
+            h = nn.Dropout(rate=0.2, deterministic=not train)(h)
+        h = block_conv(h, "conv2")
+        if norm_ctor is not None:
+            h = _apply_norm(norm_ctor, h, train)
+
+        if pt == "valid":
+            x = center_crop(x, h.shape[-nd - 1:-1])
+        return x + h
+
+
+class ResNet(nn.Module):
+    """Resnet generator; ``ndims`` selects 2D/3D (ValueError otherwise, parity
+    with the reference dispatcher ``ResNet.py:446-473``)."""
+
+    ndims: int
+    input_nc: int = 1
+    output_nc: Optional[int] = None
+    ngf: int = 64
+    norm: Union[str, None, Callable] = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 6
+    padding_type: str = "reflect"
+    activation: Union[str, Callable, None] = "relu"
+    add_noise: Union[bool, str] = False
+    n_downsampling: int = 2
+
+    def __post_init__(self):
+        if self.ndims not in (2, 3):
+            raise ValueError(
+                self.ndims, "Only 2D or 3D currently implemented. Feel free to contribute more!"
+            )
+        super().__post_init__()
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        assert self.n_blocks >= 0
+        nd = self.ndims
+        act = get_activation(self.activation)
+        norm_ctor = make_norm(self.norm)
+        # torch parity: bias only when norm is instance-norm (batchnorm has affine bias)
+        norm_name = self.norm if isinstance(self.norm, str) else ("instance" if self.norm else "none")
+        use_bias = norm_name.startswith("instance") or norm_name in ("none",) or self.norm is None
+        output_nc = self.output_nc if self.output_nc is not None else self.ngf
+
+        pt = self.padding_type.lower()
+        stem_pad = "valid"
+        updown_p = 1
+        if pt in ("reflect", "same"):
+            x = pad_spatial(x, [(3, 3)] * nd, "reflect")
+        elif pt == "replicate":
+            x = pad_spatial(x, [(3, 3)] * nd, "replicate")
+        elif pt == "zeros":
+            stem_pad = 3
+        elif pt == "valid":
+            updown_p = 0
+        else:
+            raise NotImplementedError(f"padding [{pt}] is not implemented")
+
+        h = ConvNd(
+            features=self.ngf, kernel_size=(7,) * nd, padding=stem_pad, use_bias=use_bias,
+            name="stem",
+        )(x)
+        if norm_ctor is not None:
+            h = _apply_norm(norm_ctor, h, train)
+        h = act(h)
+
+        for i in range(self.n_downsampling):
+            mult = 2**i
+            h = ConvNd(
+                features=self.ngf * mult * 2,
+                kernel_size=(3,) * nd,
+                strides=2,
+                padding=updown_p if updown_p else "valid",
+                use_bias=use_bias,
+                name=f"down_{i}",
+            )(h)
+            if norm_ctor is not None:
+                h = _apply_norm(norm_ctor, h, train)
+            h = act(h)
+
+        mult = 2**self.n_downsampling
+        for i in range(self.n_blocks):
+            h = ResnetBlock(
+                dim=self.ngf * mult,
+                ndims=nd,
+                padding_type=pt,
+                norm=self.norm,
+                use_dropout=self.use_dropout,
+                use_bias=use_bias,
+                activation=self.activation,
+                name=f"block_{i}",
+            )(h, train=train)
+
+        if self.add_noise == "param":
+            h = ParameterizedNoiseBlock()(h)
+        elif self.add_noise:
+            h = NoiseBlock()(h)
+
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = ConvTransposeNd(
+                features=int(self.ngf * mult / 2),
+                kernel_size=(3,) * nd,
+                strides=2,
+                padding=updown_p,
+                output_padding=updown_p,
+                use_bias=use_bias,
+                name=f"up_{i}",
+            )(h)
+            if norm_ctor is not None:
+                h = _apply_norm(norm_ctor, h, train)
+            h = act(h)
+
+        head_pad = "valid"
+        if pt in ("reflect", "same"):
+            h = pad_spatial(h, [(3, 3)] * nd, "reflect")
+        elif pt == "replicate":
+            h = pad_spatial(h, [(3, 3)] * nd, "replicate")
+        elif pt == "zeros":
+            head_pad = 3
+        h = ConvNd(
+            features=output_nc, kernel_size=(7,) * nd, padding=head_pad, name="head"
+        )(h)
+        return h
+
+
+def resnet_valid_output_shape(input_shape, n_blocks=6, n_downsampling=2):
+    """Static FOV math for the valid-padding generator; used by blockwise
+    inference to derive read/write ROIs (reference ``predict.py:73-108``)."""
+    out = []
+    for s in input_shape:
+        s = s - 6  # 7-wide stem
+        for _ in range(n_downsampling):
+            s = (s - 3) // 2 + 1
+        s = s - 4 * n_blocks
+        for _ in range(n_downsampling):
+            s = (s - 1) * 2 + 3
+        s = s - 6  # 7-wide head
+        out.append(s)
+    return tuple(out)

@@ -1,0 +1,439 @@
+"""N-D U-Net family (UNet, ResidualUNet) — flax, channels-last.
+
+Capability parity with reference ``src/raygun/torch/networks/UNet.py`` and
+``ResidualUNet.py`` (funlib-style valid-padding U-Net): same receptive-field
+algebra, crop-to-factor translation equivariance, multi-head decoders,
+max/strided-conv downsampling, nearest/transposed-conv upsampling, optional
+per-ConvPass residuals and noise injection. Shapes are computed statically at
+trace time so XLA sees only static shapes.
+
+Differences from the reference by design (TPU-first):
+  * channels-last layout (MXU-friendly), batch dim required;
+  * norms are constructor-factories resolved via :func:`make_norm`;
+  * noise uses an explicit 'noise' PRNG stream instead of global RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    Array,
+    ConvNd,
+    ConvTransposeNd,
+    NoiseBlock,
+    ParameterizedNoiseBlock,
+    center_crop,
+    crop_to_factor,
+    get_activation,
+    make_norm,
+    max_pool_nd,
+    nearest_upsample,
+)
+
+
+class ConvPass(nn.Module):
+    """A stack of convolutions (+ optional norm/activation/residual).
+
+    Parity contract (reference ``UNet.py:12-117``): one conv per kernel size;
+    'valid' shaves (k-1) per conv; residual mode adds a grouped 1x..x1
+    projection of the input, cropped to match, with the final activation
+    applied after the sum and omitted from the last conv; ``final`` omits the
+    last activation entirely (ResidualUNet variant, ``ResidualUNet.py:23``).
+    """
+
+    output_nc: int
+    kernel_sizes: Sequence[Sequence[int]]
+    activation: Union[str, Callable, None] = "relu"
+    padding: str = "valid"
+    residual: bool = False
+    padding_mode: str = "reflect"
+    norm: Union[str, None, Callable] = None
+    final: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        act = get_activation(self.activation)
+        norm_ctor = make_norm(self.norm)
+        nd = len(self.kernel_sizes[0])
+        x_in = x
+        n = len(self.kernel_sizes)
+        for i, ks in enumerate(self.kernel_sizes):
+            x = ConvNd(
+                features=self.output_nc,
+                kernel_size=tuple(ks),
+                padding=self.padding,
+                padding_mode=self.padding_mode,
+            )(x)
+            if norm_ctor is not None:
+                x = _apply_norm(norm_ctor, x, train)
+            is_last = i == n - 1
+            if not (self.residual and is_last) and not (self.final and is_last):
+                x = act(x)
+        if self.residual:
+            in_c, out_c = x_in.shape[-1], self.output_nc
+            groups = in_c if in_c < out_c else out_c
+            init_map = ConvNd(
+                features=out_c,
+                kernel_size=(1,) * nd,
+                padding=self.padding,
+                padding_mode=self.padding_mode,
+                use_bias=False,
+                feature_group_count=groups,
+            )(x_in)
+            if self.padding.lower() == "valid":
+                init_map = center_crop(init_map, x.shape[-nd - 1:-1])
+            x = init_map + x
+            if not self.final:
+                x = act(x)
+        return x
+
+
+def _apply_norm(norm_ctor, x, train):
+    mod = norm_ctor()
+    try:
+        return mod(x, train=train)
+    except TypeError:
+        return mod(x)
+
+
+class ConvDownsample(nn.Module):
+    """Strided-conv downsampling (reference ``UNet.py:120-188``): always
+    VALID conv with stride=downsample_factor."""
+
+    output_nc: int
+    kernel_sizes: Sequence[int]
+    downsample_factor: Union[int, Sequence[int]]
+    activation: Union[str, Callable, None] = "relu"
+    padding_mode: str = "reflect"
+    norm: Union[str, None, Callable] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        act = get_activation(self.activation)
+        x = ConvNd(
+            features=self.output_nc,
+            kernel_size=tuple(self.kernel_sizes),
+            strides=self.downsample_factor,
+            padding="valid",
+            padding_mode=self.padding_mode,
+        )(x)
+        norm_ctor = make_norm(self.norm)
+        if norm_ctor is not None:
+            x = _apply_norm(norm_ctor, x, train)
+        return act(x)
+
+
+class MaxDownsample(nn.Module):
+    """MaxPool downsampling; ``flexible=False`` raises on non-divisible
+    shapes (reference ``UNet.py:191-238`` contract)."""
+
+    downsample_factor: Sequence[int]
+    flexible: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        factor = tuple(self.downsample_factor)
+        nd = len(factor)
+        if not self.flexible:
+            for d in range(nd):
+                if x.shape[1 + d] % factor[d] != 0:
+                    raise RuntimeError(
+                        f"cannot downsample shape {x.shape} with factor {factor}: "
+                        f"mismatch in spatial dimension {d}"
+                    )
+        return max_pool_nd(x, factor)
+
+
+class Upsample(nn.Module):
+    """Upsample + crop-to-factor + skip-concat (reference ``UNet.py:241-351``).
+
+    ``mode='nearest'`` is the constant upsample; ``mode='transposed_conv'``
+    uses kernel=stride=factor."""
+
+    scale_factor: Sequence[int]
+    mode: str = "nearest"
+    output_nc: Optional[int] = None
+    crop_factor: Optional[Sequence[int]] = None
+    next_conv_kernel_sizes: Optional[Sequence[Sequence[int]]] = None
+
+    @nn.compact
+    def __call__(self, f_left: Array, g_out: Array) -> Array:
+        factor = tuple(self.scale_factor)
+        nd = len(factor)
+        if self.mode == "transposed_conv":
+            g_up = ConvTransposeNd(
+                features=self.output_nc,
+                kernel_size=factor,
+                strides=factor,
+            )(g_out)
+        elif self.mode == "nearest":
+            g_up = nearest_upsample(g_out, factor)
+        else:
+            raise ValueError(f"unknown upsample mode {self.mode!r}")
+        if self.crop_factor is not None:
+            assert self.next_conv_kernel_sizes is not None
+            g_up = crop_to_factor(g_up, self.crop_factor, self.next_conv_kernel_sizes)
+        f_cropped = center_crop(f_left, g_up.shape[-nd - 1:-1])
+        return jnp.concatenate([f_cropped, g_up], axis=-1)
+
+
+def _unet_defaults(ndims, num_levels, kernel_size_down, kernel_size_up):
+    if kernel_size_down is None:
+        kernel_size_down = [[(3,) * ndims, (3,) * ndims]] * num_levels
+    if kernel_size_up is None:
+        kernel_size_up = [[(3,) * ndims, (3,) * ndims]] * (num_levels - 1)
+    return (
+        [[tuple(k) for k in level] for level in kernel_size_down],
+        [[tuple(k) for k in level] for level in kernel_size_up],
+    )
+
+
+def _crop_factors(downsample_factors, padding_type):
+    """Cumulative products of downsample factors, bottom-up (reference
+    ``UNet.py`` crop-factor bookkeeping); None per level for 'same'."""
+    crop_factors = []
+    prod = None
+    for factor in list(downsample_factors)[::-1]:
+        if padding_type.lower() == "valid":
+            prod = list(factor) if prod is None else [f * p for f, p in zip(factor, prod)]
+        elif padding_type.lower() == "same":
+            prod = None
+        else:
+            raise ValueError(f"invalid padding_type {padding_type!r}")
+        crop_factors.append(prod)
+    return crop_factors[::-1]
+
+
+class UNet(nn.Module):
+    """Funlib-style N-D U-Net (parity: reference ``UNet.py:354-666``).
+
+    Returns one tensor (num_heads=1) or a list of head outputs.
+    """
+
+    input_nc: int  # kept for config parity; inferred from input at call time
+    ngf: int
+    fmap_inc_factor: int
+    downsample_factors: Sequence[Sequence[int]]
+    kernel_size_down: Optional[Sequence[Sequence[Sequence[int]]]] = None
+    kernel_size_up: Optional[Sequence[Sequence[Sequence[int]]]] = None
+    activation: Union[str, Callable, None] = "relu"
+    output_nc: Optional[int] = None
+    num_heads: int = 1
+    constant_upsample: bool = False
+    downsample_method: str = "max"
+    padding_type: str = "valid"
+    residual: bool = False
+    norm: Union[str, None, Callable] = None
+    add_noise: Union[bool, str] = False
+
+    @property
+    def ndims(self) -> int:
+        return len(self.downsample_factors[0])
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.downsample_factors) + 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True):
+        ndims = self.ndims
+        num_levels = self.num_levels
+        ks_down, ks_up = _unet_defaults(
+            ndims, num_levels, self.kernel_size_down, self.kernel_size_up
+        )
+        crop_factors = _crop_factors(self.downsample_factors, self.padding_type)
+        is_max = self.downsample_method.lower() == "max"
+
+        def level_fmaps(level):
+            return self.ngf * self.fmap_inc_factor**level
+
+        # encoder
+        f_lefts = []
+        h = x
+        for i, level in enumerate(range(num_levels - 1, -1, -1)):
+            # i indexes the module arrays (top-down); level counts down to 0
+            depth = num_levels - 1 - level  # 0 at top
+            h = ConvPass(
+                output_nc=level_fmaps(depth),
+                kernel_sizes=ks_down[depth],
+                activation=self.activation,
+                padding=self.padding_type,
+                residual=self.residual,
+                norm=self.norm,
+                name=f"l_conv_{depth}",
+            )(h, train=train)
+            if level > 0:
+                f_lefts.append(h)
+                if is_max:
+                    h = MaxDownsample(self.downsample_factors[depth], name=f"l_down_{depth}")(h)
+                else:
+                    h = ConvDownsample(
+                        output_nc=level_fmaps(depth + 1),
+                        kernel_sizes=ks_down[depth][0],
+                        downsample_factor=self.downsample_factors[depth],
+                        activation=self.activation,
+                        norm=self.norm,
+                        name=f"l_down_{depth}",
+                    )(h, train=train)
+
+        # bottleneck noise injection
+        if self.add_noise == "param":
+            h = ParameterizedNoiseBlock()(h)
+        elif self.add_noise:
+            h = NoiseBlock()(h)
+
+        # decoder(s)
+        heads = [h] * self.num_heads
+        for depth in range(num_levels - 2, -1, -1):
+            f_left = f_lefts[depth]
+            new_heads = []
+            for head in range(self.num_heads):
+                g = Upsample(
+                    scale_factor=self.downsample_factors[depth],
+                    mode="nearest" if self.constant_upsample else "transposed_conv",
+                    output_nc=level_fmaps(depth + 1),
+                    crop_factor=crop_factors[depth],
+                    next_conv_kernel_sizes=ks_up[depth],
+                    name=f"r_up_{head}_{depth}",
+                )(f_left, heads[head])
+                g = ConvPass(
+                    output_nc=(
+                        self.output_nc
+                        if (self.output_nc is not None and depth == 0)
+                        else level_fmaps(depth)
+                    ),
+                    kernel_sizes=ks_up[depth],
+                    activation=self.activation,
+                    padding=self.padding_type,
+                    residual=self.residual,
+                    norm=self.norm,
+                    name=f"r_conv_{head}_{depth}",
+                )(g, train=train)
+                new_heads.append(g)
+            heads = new_heads
+
+        if self.num_heads == 1:
+            return heads[0]
+        return heads
+
+
+class ResidualUNet(nn.Module):
+    """UNet with a global input→output residual per head (parity: reference
+    ``ResidualUNet.py:689-701``): ``out = act(crop(x) + decoder_out)``, the
+    final ConvPass omitting its last activation (``final=True``)."""
+
+    input_nc: int
+    ngf: int
+    fmap_inc_factor: int
+    downsample_factors: Sequence[Sequence[int]]
+    kernel_size_down: Optional[Sequence[Sequence[Sequence[int]]]] = None
+    kernel_size_up: Optional[Sequence[Sequence[Sequence[int]]]] = None
+    activation: Union[str, Callable, None] = "relu"
+    output_nc: Optional[int] = None
+    num_heads: int = 1
+    constant_upsample: bool = False
+    downsample_method: str = "max"
+    padding_type: str = "valid"
+    residual: bool = False
+    norm: Union[str, None, Callable] = None
+    add_noise: Union[bool, str] = False
+
+    @property
+    def ndims(self) -> int:
+        return len(self.downsample_factors[0])
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True):
+        ndims = self.ndims
+        num_levels = len(self.downsample_factors) + 1
+        ks_down, ks_up = _unet_defaults(
+            ndims, num_levels, self.kernel_size_down, self.kernel_size_up
+        )
+        crop_factors = _crop_factors(self.downsample_factors, self.padding_type)
+        is_max = self.downsample_method.lower() == "max"
+        act = get_activation(self.activation)
+
+        def level_fmaps(level):
+            return self.ngf * self.fmap_inc_factor**level
+
+        f_lefts = []
+        h = x
+        for depth in range(num_levels):
+            h = ConvPass(
+                output_nc=level_fmaps(depth),
+                kernel_sizes=ks_down[depth],
+                activation=self.activation,
+                padding=self.padding_type,
+                residual=self.residual,
+                norm=self.norm,
+                name=f"l_conv_{depth}",
+            )(h, train=train)
+            if depth < num_levels - 1:
+                f_lefts.append(h)
+                if is_max:
+                    h = MaxDownsample(self.downsample_factors[depth], name=f"l_down_{depth}")(h)
+                else:
+                    h = ConvDownsample(
+                        output_nc=level_fmaps(depth + 1),
+                        kernel_sizes=ks_down[depth][0],
+                        downsample_factor=self.downsample_factors[depth],
+                        activation=self.activation,
+                        norm=self.norm,
+                        name=f"l_down_{depth}",
+                    )(h, train=train)
+
+        if self.add_noise == "param":
+            h = ParameterizedNoiseBlock()(h)
+        elif self.add_noise:
+            h = NoiseBlock()(h)
+
+        heads = [h] * self.num_heads
+        for depth in range(num_levels - 2, -1, -1):
+            f_left = f_lefts[depth]
+            new_heads = []
+            for head in range(self.num_heads):
+                g = Upsample(
+                    scale_factor=self.downsample_factors[depth],
+                    mode="nearest" if self.constant_upsample else "transposed_conv",
+                    output_nc=level_fmaps(depth + 1),
+                    crop_factor=crop_factors[depth],
+                    next_conv_kernel_sizes=ks_up[depth],
+                    name=f"r_up_{head}_{depth}",
+                )(f_left, heads[head])
+                g = ConvPass(
+                    output_nc=(
+                        self.output_nc
+                        if (self.output_nc is not None and depth == 0)
+                        else level_fmaps(depth)
+                    ),
+                    kernel_sizes=ks_up[depth],
+                    activation=self.activation,
+                    padding=self.padding_type,
+                    residual=self.residual,
+                    norm=self.norm,
+                    final=(depth == 0),
+                    name=f"r_conv_{head}_{depth}",
+                )(g, train=train)
+                new_heads.append(g)
+            heads = new_heads
+
+        # global residual: out = act(crop(x) + y) per head
+        outs = []
+        for y in heads:
+            x_c = x
+            if self.padding_type.lower() == "valid":
+                x_c = center_crop(x, y.shape[-ndims - 1:-1])
+            if x_c.shape[-1] != y.shape[-1]:
+                # broadcast single-channel input residual across output channels
+                assert x_c.shape[-1] == 1, (
+                    f"residual channel mismatch: {x_c.shape[-1]} vs {y.shape[-1]}"
+                )
+            outs.append(act(x_c + y))
+        if self.num_heads == 1:
+            return outs[0]
+        return outs
