@@ -1,0 +1,206 @@
+"""Device-resident random-location sampling.
+
+TPU-native replacement for gunpowder's RandomLocation + Reject + PreCache
+stack (reference ``io/MTLSDDataPipe.py:170-183``, ``train/BaseTrain.py:94-97``
+— 10-16 CPU worker processes in the reference): training volumes are
+uploaded to device HBM **once**; every step then draws crop origins from a
+precomputed valid-origin table and slices crops with ``dynamic_slice`` inside
+the jitted train step. Steady-state host cost: zero.
+
+The valid-origin table implements the mask-fraction constraint
+(``RandomLocation(min_masked=...)`` / ``Reject(min_masked=...)``): origins
+are enumerated on the host once with an integral-image box filter.
+
+Volumes larger than HBM should use a host-streaming sampler instead (see
+``HostStreamSampler`` — reads random crops through tensorstore with a
+prefetch thread).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.roi import Coordinate, Roi
+from .volume import Volume, open_ds
+
+
+def valid_origins(
+    mask: np.ndarray,
+    crop_shape: Sequence[int],
+    min_masked: float = 0.0,
+    max_origins: int = 2**20,
+) -> np.ndarray:
+    """Enumerate crop origins whose mask fraction ≥ min_masked.
+
+    Uses an integral image (summed-area table) so cost is O(volume), not
+    O(volume · crop). Returns (N, nd) int32 origins."""
+    nd = mask.ndim
+    crop_shape = tuple(crop_shape)
+    valid_extent = tuple(m - c + 1 for m, c in zip(mask.shape, crop_shape))
+    if any(v <= 0 for v in valid_extent):
+        raise ValueError(f"crop {crop_shape} larger than volume {mask.shape}")
+    if min_masked <= 0.0:
+        grids = np.meshgrid(*[np.arange(v) for v in valid_extent], indexing="ij")
+        origins = np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
+    else:
+        m = mask.astype(np.float64)
+        sat = m
+        for ax in range(nd):
+            sat = np.cumsum(sat, axis=ax)
+        sat = np.pad(sat, [(1, 0)] * nd)
+
+        # box sum at each origin via inclusion-exclusion over 2^nd corners
+        sums = np.zeros(valid_extent, np.float64)
+        for corner in range(2**nd):
+            sl = []
+            sign = 1
+            for ax in range(nd):
+                take_hi = (corner >> ax) & 1
+                if take_hi:
+                    sl.append(slice(crop_shape[ax], crop_shape[ax] + valid_extent[ax]))
+                else:
+                    sl.append(slice(0, valid_extent[ax]))
+                    sign = -sign
+            sums += sign * sat[tuple(sl)]
+        frac = sums / float(np.prod(crop_shape))
+        origins = np.argwhere(frac >= min_masked).astype(np.int32)
+        if len(origins) == 0:
+            raise ValueError(
+                f"no crop of shape {crop_shape} satisfies min_masked={min_masked}"
+            )
+    if len(origins) > max_origins:
+        idx = np.random.default_rng(0).choice(len(origins), max_origins, replace=False)
+        origins = origins[idx]
+    return origins
+
+
+class DeviceVolumeSampler:
+    """Upload arrays to device once; sample equal-shape random crops in-jit.
+
+    ``arrays``: dict name → numpy array (*spatial[, C]).
+    ``crop_shape``: spatial shape of each sampled crop.
+    Origins honour ``min_masked`` on ``mask_name`` (if given).
+    """
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        crop_shape: Sequence[int],
+        mask_name: Optional[str] = None,
+        min_masked: float = 0.0,
+        device=None,
+    ):
+        self.crop_shape = tuple(int(c) for c in crop_shape)
+        nd = len(self.crop_shape)
+        first = next(iter(arrays.values()))
+        self.spatial_shape = first.shape[:nd]
+        for name, a in arrays.items():
+            assert a.shape[:nd] == self.spatial_shape, (
+                f"{name}: {a.shape} vs {self.spatial_shape}"
+            )
+        if mask_name is not None:
+            mask = np.asarray(arrays[mask_name]) > 0
+            origins = valid_origins(mask, self.crop_shape, min_masked)
+        else:
+            origins = valid_origins(
+                np.ones(self.spatial_shape, bool), self.crop_shape, 0.0
+            )
+        put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        self.origins = put(origins)
+        self.data = {k: put(v) for k, v in arrays.items()}
+        self.nd = nd
+
+    def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """One random crop of every array (jit-safe)."""
+        idx = jax.random.randint(key, (), 0, self.origins.shape[0])
+        origin = self.origins[idx]
+        out = {}
+        for name, arr in self.data.items():
+            extra = arr.ndim - self.nd
+            starts = [origin[d] for d in range(self.nd)] + [0] * extra
+            sizes = list(self.crop_shape) + list(arr.shape[self.nd:])
+            out[name] = jax.lax.dynamic_slice(arr, starts, sizes)
+        return out
+
+    def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(self.sample)(keys)
+
+
+class HostStreamSampler:
+    """Prefetching host-side sampler for volumes too large for HBM.
+
+    Reads random crops through tensorstore on a background thread (the
+    capability of gp.PreCache with num_workers, scaled down to this
+    environment's single CPU core) and hands ready numpy batches to the
+    training loop, which device_puts them.
+    """
+
+    def __init__(
+        self,
+        volumes: Dict[str, Volume],
+        crop_shape: Sequence[int],
+        batch_size: int,
+        mask_name: Optional[str] = None,
+        min_masked: float = 0.0,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.volumes = volumes
+        self.crop_shape = tuple(crop_shape)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        first = next(iter(volumes.values()))
+        self.voxel_size = first.voxel_size
+        if mask_name is not None:
+            mask = volumes[mask_name].read() > 0
+            self.origins = valid_origins(mask, self.crop_shape, min_masked)
+        else:
+            extent = tuple(
+                s - c + 1 for s, c in zip(first.spatial_shape, self.crop_shape)
+            )
+            self.origins = None
+            self.extent = extent
+        self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _random_origin(self):
+        if self.origins is not None:
+            return self.origins[self.rng.integers(0, len(self.origins))]
+        return np.array([self.rng.integers(0, e) for e in self.extent])
+
+    def _read_crop(self, origin) -> Dict[str, np.ndarray]:
+        out = {}
+        futures = {}
+        for name, vol in self.volumes.items():
+            world_off = vol.offset + Coordinate(origin) * vol.voxel_size
+            roi = Roi(world_off, Coordinate(self.crop_shape) * vol.voxel_size)
+            futures[name] = vol.read_async(roi)
+        for name, fut in futures.items():
+            out[name] = np.asarray(fut.result())
+        return out
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = [self._read_crop(self._random_origin()) for _ in range(self.batch_size)]
+            stacked = {
+                k: np.stack([b[k] for b in batch]) for k in batch[0]
+            }
+            try:
+                self.queue.put(stacked, timeout=1.0)
+            except queue.Full:
+                continue
+
+    def next(self) -> Dict[str, np.ndarray]:
+        return self.queue.get()
+
+    def stop(self):
+        self._stop.set()

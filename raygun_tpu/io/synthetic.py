@@ -1,0 +1,139 @@
+"""Synthetic labeled volumes for tests and benchmarks.
+
+The reference has **no** synthetic-data generator — its tests depend on
+cluster paths (reference ``tests/torch/systems/CycleGAN_conf.json:4``,
+SURVEY §4). This module fills that gap: CREMI-style cell-segmentation cubes
+(Voronoi regions with smoothed borders) and paired low/high-resolution
+intensity volumes for CycleGAN smoke training.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from ..core.roi import Coordinate, Roi
+from .volume import Volume, prepare_ds
+
+
+def synthetic_labels(
+    shape: Tuple[int, ...],
+    num_cells: int = 24,
+    seed: int = 17,
+    smooth: float = 2.0,
+) -> np.ndarray:
+    """Voronoi-style cell labels (uint64, 1..num_cells) with irregular,
+    smooth boundaries — a stand-in for EM neuron segmentation GT."""
+    rng = np.random.default_rng(seed)
+    nd = len(shape)
+    points = rng.uniform(0, 1, size=(num_cells, nd)) * np.array(shape)
+    # distance to nearest seed, warped by smooth noise for irregularity
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    warp = [
+        ndimage.gaussian_filter(rng.normal(0, 1, shape), sigma=max(shape) / 8) * smooth * 4
+        for _ in range(nd)
+    ]
+    coords = np.stack([g + w for g, w in zip(grids, warp)], axis=-1)  # (*shape, nd)
+    d2 = np.sum(
+        (coords[..., None, :] - points[None, ...].reshape((1,) * nd + points.shape)) ** 2,
+        axis=-1,
+    )
+    labels = np.argmin(d2, axis=-1).astype(np.uint64) + 1
+    return labels
+
+
+def synthetic_raw_from_labels(
+    labels: np.ndarray, seed: int = 3, noise: float = 0.1
+) -> np.ndarray:
+    """EM-like intensity: dark membranes at label boundaries + texture."""
+    rng = np.random.default_rng(seed)
+    boundary = np.zeros(labels.shape, bool)
+    for ax in range(labels.ndim):
+        sl_a = [slice(None)] * labels.ndim
+        sl_b = [slice(None)] * labels.ndim
+        sl_a[ax] = slice(1, None)
+        sl_b[ax] = slice(None, -1)
+        edge = labels[tuple(sl_a)] != labels[tuple(sl_b)]
+        boundary[tuple(sl_a)] |= edge
+        boundary[tuple(sl_b)] |= edge
+    membrane = ndimage.gaussian_filter(boundary.astype(np.float32), 1.0)
+    texture = ndimage.gaussian_filter(rng.normal(0, 1, labels.shape), 1.5)
+    img = 0.75 - 0.6 * np.clip(membrane * 2, 0, 1) + 0.12 * texture
+    img = img + rng.normal(0, noise, labels.shape)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def downsample_raw(raw: np.ndarray, factor: int = 3) -> np.ndarray:
+    """Blur+stride to fake a lower-resolution acquisition (30nm→90nm)."""
+    blurred = ndimage.gaussian_filter(raw.astype(np.float32), factor / 2)
+    upsampled = ndimage.zoom(blurred[tuple(slice(None, None, factor) for _ in raw.shape)],
+                             factor, order=1)
+    # pad/crop back to original shape
+    out = np.zeros_like(raw, dtype=np.float32)
+    sl = tuple(slice(0, min(a, b)) for a, b in zip(raw.shape, upsampled.shape))
+    out[sl] = upsampled[sl]
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def make_segmentation_dataset(
+    path: str,
+    shape: Tuple[int, ...] = (64, 64, 64),
+    voxel_size: Tuple[int, ...] = (30, 30, 30),
+    num_cells: int = 24,
+    seed: int = 17,
+) -> dict:
+    """Write a CREMI-style training zarr: raw / labels / masks.
+
+    Returns {"path", "raw", "labels", "labels_mask", "cell_mask"} in the
+    source-dict shape the reference configs use
+    (``default_MTLSD_conf.json`` "sources")."""
+    labels = synthetic_labels(shape, num_cells, seed)
+    raw = synthetic_raw_from_labels(labels, seed + 1)
+    vx = Coordinate(voxel_size)
+    total = Roi((0,) * len(shape), Coordinate(shape) * vx)
+
+    v_raw = prepare_ds(path, "volumes/raw", total, vx, np.uint8, delete=True)
+    v_raw.write(total, raw)
+    v_labels = prepare_ds(path, "volumes/labels", total, vx, np.uint64, delete=True)
+    v_labels.write(total, labels)
+    ones = np.ones(shape, np.uint8)
+    for name in ("volumes/labels_mask", "volumes/cell_mask"):
+        v = prepare_ds(path, name, total, vx, np.uint8, delete=True)
+        v.write(total, ones)
+    return {
+        "path": path,
+        "raw": "volumes/raw",
+        "labels": "volumes/labels",
+        "labels_mask": "volumes/labels_mask",
+        "cell_mask": "volumes/cell_mask",
+    }
+
+
+def make_cyclegan_dataset(
+    path: str,
+    shape: Tuple[int, ...] = (64, 64),
+    voxel_size_a: Tuple[int, ...] = (30, 30),
+    voxel_size_b: Tuple[int, ...] = (90, 90),
+    seed: int = 5,
+) -> dict:
+    """Write side-A (high-res) and side-B (low-res) unpaired volumes."""
+    labels = synthetic_labels(shape, num_cells=max(6, int(np.prod(shape)) // 512), seed=seed)
+    raw_a = synthetic_raw_from_labels(labels, seed + 1)
+    labels_b = synthetic_labels(shape, num_cells=max(6, int(np.prod(shape)) // 512), seed=seed + 7)
+    raw_b = downsample_raw(synthetic_raw_from_labels(labels_b, seed + 8), 3)
+
+    vx_a, vx_b = Coordinate(voxel_size_a), Coordinate(voxel_size_b)
+    roi_a = Roi((0,) * len(shape), Coordinate(shape) * vx_a)
+    roi_b = Roi((0,) * len(shape), Coordinate(shape) * vx_b)
+    va = prepare_ds(path, "volumes/raw_30nm", roi_a, vx_a, np.uint8, delete=True)
+    va.write(roi_a, raw_a)
+    vb = prepare_ds(path, "volumes/raw_90nm", roi_b, vx_b, np.uint8, delete=True)
+    vb.write(roi_b, raw_b)
+    return {
+        "path": path,
+        "A": "volumes/raw_30nm",
+        "B": "volumes/raw_90nm",
+    }

@@ -1,0 +1,269 @@
+"""On-device training-target computation: affinities, label balancing,
+boundary growth, local shape descriptors.
+
+TPU-native replacement for the gunpowder/lsd target nodes the reference
+pipelines use (``gp.AddAffinities``, ``gp.BalanceLabels``,
+``gp.GrowBoundary``, ``lsd.train.gp.AddLocalShapeDescriptor`` — reference
+``src/raygun/io/MTLSDDataPipe.py:99-133``). Everything here is a pure
+jittable function of arrays, designed to fuse into the train step so targets
+are computed on the TPU from the uint labels, not on the (single-core) host.
+
+Conventions: ``labels`` is ``(*spatial,)`` integer; outputs are channels-last
+``(*spatial, C)``; offsets are in **voxels**.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def diagonal_neighborhood(n_diagonals: int) -> np.ndarray:
+    """The reference's sin/cos in-plane diagonal offsets (reference
+    ``systems/MTLSD.py:30-43``)."""
+    if n_diagonals <= 0:
+        return np.zeros((0, 3), np.int64)
+    angles = np.linspace(0, np.pi, num=n_diagonals, endpoint=False)
+    pos = np.round(n_diagonals * np.sin(angles))
+    neg = np.round(n_diagonals * np.cos(angles))
+    return np.stack([0 * pos, pos, neg], axis=-1).astype(np.int64)
+
+
+def mtlsd_neighborhood(base: Sequence[Sequence[int]], n_diagonals: int = 0) -> np.ndarray:
+    nb = np.asarray(base, np.int64)
+    if n_diagonals > 0:
+        nb = np.concatenate([nb, diagonal_neighborhood(n_diagonals)])
+    return nb
+
+
+def _shift(arr: jax.Array, offset: Sequence[int], fill=0) -> jax.Array:
+    """arr shifted so out[v] = arr[v + offset], zero-filled out of bounds."""
+    out = arr
+    for ax, o in enumerate(offset):
+        o = int(o)
+        if o == 0:
+            continue
+        out = jnp.roll(out, -o, axis=ax)
+        idx = [slice(None)] * out.ndim
+        if o > 0:
+            idx[ax] = slice(out.shape[ax] - o, None)
+        else:
+            idx[ax] = slice(0, -o)
+        out = out.at[tuple(idx)].set(fill)
+    return out
+
+
+def _in_bounds_mask(shape: Sequence[int], offset: Sequence[int]) -> jax.Array:
+    """Boolean mask of voxels v for which v+offset is inside the array."""
+    masks = []
+    for ax, (s, o) in enumerate(zip(shape, offset)):
+        o = int(o)
+        idx = jnp.arange(s) + o
+        m = (idx >= 0) & (idx < s)
+        bshape = [1] * len(shape)
+        bshape[ax] = s
+        masks.append(m.reshape(bshape))
+    out = masks[0]
+    for m in masks[1:]:
+        out = out & m
+    return out
+
+
+def add_affinities(
+    labels: jax.Array,
+    neighborhood: np.ndarray,
+    labels_mask: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Affinity graph: aff_k[v] = 1 iff labels[v] == labels[v+o_k] != 0.
+
+    Returns ``(affs, affs_mask)``, both ``(*spatial, K)`` — gunpowder
+    ``AddAffinities`` semantics with boundary voxels masked out (the
+    reference feeds a labels array of exactly output size, so affinities
+    whose partner falls outside are invalid; reference
+    ``MTLSDDataPipe.py:106-121``)."""
+    neighborhood = np.asarray(neighborhood, np.int64)
+    affs, masks = [], []
+    lab = labels.astype(jnp.int32)
+    m = labels_mask if labels_mask is not None else jnp.ones_like(lab, jnp.bool_)
+    m = m.astype(jnp.bool_)
+    for o in neighborhood:
+        shifted = _shift(lab, o, fill=0)
+        shifted_m = _shift(m, o, fill=False)
+        inb = _in_bounds_mask(lab.shape, o)
+        aff = (lab == shifted) & (lab > 0) & (shifted > 0)
+        affs.append(aff)
+        masks.append(m & shifted_m & inb)
+    return (
+        jnp.stack(affs, axis=-1).astype(dtype),
+        jnp.stack(masks, axis=-1).astype(dtype),
+    )
+
+
+def balance_labels(
+    affs: jax.Array,
+    mask: jax.Array,
+    clipmin: float = 0.05,
+    clipmax: float = 0.95,
+) -> jax.Array:
+    """Class-balancing weights (gunpowder ``BalanceLabels`` semantics,
+    reference ``MTLSDDataPipe.py:123-127``): positive/negative classes get
+    weights 1/(2·frac) over the masked region, fractions clipped."""
+    mask = mask.astype(affs.dtype)
+    total = jnp.maximum(jnp.sum(mask), 1.0)
+    frac_pos = jnp.clip(jnp.sum(affs * mask) / total, clipmin, clipmax)
+    w_pos = 1.0 / (2.0 * frac_pos)
+    w_neg = 1.0 / (2.0 * (1.0 - frac_pos))
+    return mask * jnp.where(affs > 0.5, w_pos, w_neg)
+
+
+def grow_boundary(labels: jax.Array, steps: int = 1, only_xy: bool = False) -> jax.Array:
+    """Erode every label region by ``steps`` voxels so a 0-boundary grows
+    between touching labels (gunpowder ``GrowBoundary`` capability,
+    reference ``MTLSDDataPipe.py:185-186``)."""
+    nd = labels.ndim
+    axes = range(1, nd) if (only_xy and nd == 3) else range(nd)
+    out = labels
+    for _ in range(steps):
+        boundary = jnp.zeros(out.shape, jnp.bool_)
+        for ax in axes:
+            nxt = _shift(out, tuple(1 if a == ax else 0 for a in range(nd)), fill=-1)
+            prv = _shift(out, tuple(-1 if a == ax else 0 for a in range(nd)), fill=-1)
+            boundary = boundary | ((nxt != out) & (nxt >= 0)) | ((prv != out) & (prv >= 0))
+        out = jnp.where(boundary & (out > 0), 0, out)
+    return out
+
+
+def _gaussian_kernel(sigma_vox: float, truncate: float = 3.0) -> np.ndarray:
+    radius = max(1, int(truncate * sigma_vox + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma_vox) ** 2)
+    return k / k.sum()
+
+
+def _separable_blur(x: jax.Array, sigmas_vox: Sequence[float]) -> jax.Array:
+    """Separable gaussian blur over all dims of x (no channel dim)."""
+    nd = x.ndim
+    y = x[None, ..., None]  # (1, *spatial, 1)
+    for ax, s in enumerate(sigmas_vox):
+        if s <= 0:
+            continue
+        k = jnp.asarray(_gaussian_kernel(float(s)))
+        kshape = [1] * nd + [1, 1]
+        kshape[ax] = k.shape[0]
+        kernel = k.reshape(kshape)
+        y = jax.lax.conv_general_dilated(
+            y, kernel,
+            window_strides=(1,) * nd,
+            padding=[(kernel.shape[ax] // 2,) * 2 if a == ax else (0, 0) for a in range(nd)],
+            dimension_numbers=_dim_numbers(nd),
+        )
+    return y[0, ..., 0]
+
+
+def _dim_numbers(nd: int):
+    sp = "".join(chr(ord("0") + i) for i in range(nd))
+    return jax.lax.conv_dimension_numbers(
+        (1,) * (nd + 2), (1,) * (nd + 2),
+        ("N" + sp + "C", sp + "IO", "N" + sp + "C"),
+    )
+
+
+def local_shape_descriptors(
+    labels: jax.Array,
+    sigma: float,
+    voxel_size: Sequence[int],
+    max_labels: int = 64,
+    downsample: int = 1,
+) -> jax.Array:
+    """10-channel local shape descriptors (3D) or 6-channel (2D).
+
+    TPU-native equivalent of ``lsd.train.gp.AddLocalShapeDescriptor``
+    (reference ``MTLSDDataPipe.py:100-105``): per-voxel gaussian-weighted
+    statistics of the same-label neighborhood —
+    [mean offset (nd), variance diag (nd), pearson off-diag (nd·(nd-1)/2),
+    size (1)], each normalized to [0, 1].
+
+    Label loop is a ``lax.fori_loop`` over up to ``max_labels`` unique ids
+    (static bound; blocks with more unique labels lose descriptors for the
+    excess ids — raise ``max_labels`` if needed). Gaussian blurs are
+    separable convs: XLA maps them onto the MXU.
+    """
+    nd = labels.ndim
+    sigma_vox = [sigma / v for v in voxel_size]
+    if downsample > 1:
+        sl = tuple(slice(None, None, downsample) for _ in range(nd))
+        labels_ds = labels[sl]
+        sigma_ds = [s / downsample for s in sigma_vox]
+    else:
+        labels_ds = labels
+        sigma_ds = sigma_vox
+
+    shape = labels_ds.shape
+    lab = labels_ds.astype(jnp.int32)
+    # unique label ids, padded with 0 (background) to a static size
+    uniq = jnp.unique(lab, size=max_labels, fill_value=0)
+
+    # voxel coordinate grids in world units, zero-centered per axis
+    coords = [
+        (jnp.arange(s, dtype=jnp.float32) * v).reshape(
+            tuple(s if a == ax else 1 for a, s in enumerate(shape))
+        )
+        for ax, (s, v) in enumerate(zip(shape, [voxel_size[d] * downsample for d in range(nd)]))
+    ]
+    coords = [jnp.broadcast_to(c, shape) for c in coords]
+
+    n_pearson = nd * (nd - 1) // 2
+    n_channels = nd + nd + n_pearson + 1
+    pairs = [(i, j) for i in range(nd) for j in range(i + 1, nd)]
+
+    def per_label(k, acc):
+        label_val = uniq[k]
+        mask = ((lab == label_val) & (label_val > 0)).astype(jnp.float32)
+        count = _separable_blur(mask, sigma_ds)
+        safe = jnp.maximum(count, 1e-6)
+        means = []
+        for d in range(nd):
+            means.append(_separable_blur(mask * coords[d], sigma_ds) / safe)
+        variances = []
+        for d in range(nd):
+            m2 = _separable_blur(mask * coords[d] * coords[d], sigma_ds) / safe
+            variances.append(jnp.maximum(m2 - means[d] ** 2, 0.0))
+        pearsons = []
+        for i, j in pairs:
+            cov = _separable_blur(mask * coords[i] * coords[j], sigma_ds) / safe - means[i] * means[j]
+            denom = jnp.sqrt(jnp.maximum(variances[i] * variances[j], 1e-12))
+            pearsons.append(cov / denom)
+        feats = []
+        for d in range(nd):  # mean offset, normalized: ±σ → [0, 1]
+            offset = means[d] - coords[d]
+            feats.append(jnp.clip(offset / sigma * 0.5 + 0.5, 0.0, 1.0))
+        for d in range(nd):  # variance, normalized by σ²
+            feats.append(jnp.clip(variances[d] / (sigma**2), 0.0, 1.0))
+        for p in pearsons:  # pearson → [0, 1]
+            feats.append(jnp.clip(p * 0.5 + 0.5, 0.0, 1.0))
+        feats.append(jnp.clip(count, 0.0, 1.0))  # size (gaussian kernel sums to 1)
+        stacked = jnp.stack(feats, axis=-1) * mask[..., None]
+        return acc + stacked
+
+    lsds = jax.lax.fori_loop(
+        0, max_labels, per_label, jnp.zeros(shape + (n_channels,), jnp.float32)
+    )
+
+    if downsample > 1:
+        full = labels.shape
+        lsds = jax.image.resize(lsds, tuple(full) + (n_channels,), method="nearest")
+        # re-mask at full resolution so boundaries stay crisp
+        lsds = lsds * (labels > 0).astype(jnp.float32)[..., None]
+    return lsds
+
+
+def lsd_mask(labels: jax.Array, n_channels: int) -> jax.Array:
+    """LSD loss weights: 1 on labeled voxels (lsd's lsds_mask capability)."""
+    m = (labels > 0).astype(jnp.float32)
+    return jnp.repeat(m[..., None], n_channels, axis=-1)

@@ -1,0 +1,234 @@
+"""BaseSystem: config-driven experiment orchestration.
+
+Capability parity with reference ``src/raygun/torch/systems/BaseSystem.py``:
+defaults-JSON + user-config merge into attributes (``:21-32``), RNG seeding
+(``:78-83``), latest-checkpoint autodiscovery (``:125-143``), a network
+factory resolving net types from config (``:163-242``), a valid-context probe
+(``:244-255``), abstract setup hooks, and ``build_system``/``train``/``test``
+drivers (``:312-336``).
+
+TPU-first: networks are flax modules built from config; params live in an
+explicit TrainState; the "model" is a pure apply function.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from abc import abstractmethod
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import eval_args, read_config
+from ..nn import (
+    NLayerDiscriminator,
+    ResidualUNet,
+    ResNet,
+    UNet,
+    init_weights,
+    param_count,
+)
+from ..train.state import latest_checkpoint
+
+DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "default_configs")
+
+
+class BaseSystem:
+    def __init__(self, config: Optional[str] = None, default_config: Optional[str] = None):
+        # defaults first, user config wins (reference BaseSystem.py:21-32)
+        merged: Dict[str, Any] = {}
+        blank = os.path.join(DEFAULT_CONFIG_DIR, "blank_conf.json")
+        if os.path.exists(blank):
+            merged.update(read_config(blank))
+        if default_config is not None:
+            if not os.path.isabs(default_config):
+                default_config = os.path.join(DEFAULT_CONFIG_DIR, default_config)
+            if os.path.exists(default_config):
+                for k, v in read_config(default_config).items():
+                    merged[k] = v
+        self.config_path = config
+        if config is not None:
+            if isinstance(config, dict):
+                merged.update(config)
+            else:
+                merged.update(read_config(config))
+        merged = eval_args(merged)
+        for key, value in merged.items():
+            setattr(self, key, value)
+        self.config = merged
+
+        if not hasattr(self, "random_seed") or self.random_seed is None:
+            self.random_seed = 42
+        self.seed_rngs()
+
+        self.model_path = getattr(self, "model_path", "./models/")
+        self.model_name = getattr(self, "model_name", "model")
+        self.checkpoint_basename = os.path.join(self.model_path, self.model_name)
+        self.checkpoint, self.iteration = latest_checkpoint(self.checkpoint_basename)
+
+        self.arrays: Dict[str, Any] = {}
+        self._built = False
+
+    def __getattr__(self, name):
+        # unset config keys read as None (the reference sets every default
+        # key as an attribute; this keeps `getattr(self, k, None)` idioms flat)
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return None
+
+    # -- RNG --------------------------------------------------------------
+    def seed_rngs(self):
+        """Parity with reference seeding (BaseSystem.py:78-83), adapted to
+        explicit JAX keys: one root key, split per use."""
+        seed = int(self.random_seed)
+        random.seed(seed)
+        np.random.seed(seed % (2**32))
+        self.key = jax.random.PRNGKey(seed)
+
+    def next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- network factory ----------------------------------------------------
+    def get_downsample_factors(self, net_kwargs: dict) -> dict:
+        if "downsample_factors" not in net_kwargs:
+            down_factor = net_kwargs.pop("down_factor", 2)
+            num_downs = net_kwargs.pop("num_downs", 3)
+            net_kwargs["downsample_factors"] = [
+                (down_factor,) * self.ndims
+            ] * (num_downs - 1)
+        return net_kwargs
+
+    def get_network(self, net_type: str = "unet", net_kwargs: Optional[dict] = None):
+        """Build a flax module from config (parity with reference
+        ``BaseSystem.py:163-242``): unet | residualunet | resnet |
+        patchdiscriminator, plus a 1×..×1 conv head + final activation for
+        generators."""
+        from ..nn.layers import ConvNd, get_activation
+        from flax import linen as nn
+
+        net_kwargs = dict(net_kwargs or {})
+        final_activation = net_kwargs.pop("final_activation", None)
+        output_nc = net_kwargs.pop("output_nc", net_kwargs.get("input_nc", 1))
+        ndims = self.ndims or len(net_kwargs.get("downsample_factors", [[1, 1]])[0])
+
+        add_final = True
+        if net_type == "unet":
+            net_kwargs = self.get_downsample_factors(net_kwargs)
+            core = UNet(**net_kwargs)
+        elif net_type == "residualunet":
+            net_kwargs = self.get_downsample_factors(net_kwargs)
+            core = ResidualUNet(**net_kwargs)
+        elif net_type == "resnet":
+            core = ResNet(ndims=ndims, **net_kwargs)
+        elif net_type in ("patchdiscriminator", "discriminator"):
+            net_kwargs.setdefault("norm", "instance")
+            core = NLayerDiscriminator(ndims=ndims, **net_kwargs)
+            add_final = False
+        else:
+            raise ValueError(f"Unknown network type requested: {net_type}")
+
+        if not add_final:
+            return core
+
+        ngf = net_kwargs.get("ngf", 64)
+        padding = net_kwargs.get("padding_type", "valid")
+
+        class _WithHead(nn.Module):
+            """core + 1x..x1 conv head (+ final activation)."""
+
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                y = core(x, train=train)
+                y = ConvNd(
+                    features=output_nc,
+                    kernel_size=(1,) * ndims,
+                    padding="valid" if padding == "valid" else "same",
+                    name="head",
+                )(y)
+                if final_activation is not None:
+                    y = get_activation(final_activation)(y)
+                return y
+
+        return _WithHead()
+
+    def init_network_params(self, net, input_shape, init_type=None, init_gain=0.02,
+                            key=None, rngs_extra=None):
+        """Initialize params (+ reference-style re-init: kaiming for ReLU
+        nets, normal otherwise — ``BaseSystem.py:225-240``)."""
+        key = key if key is not None else self.next_key()
+        k_init, k_weights = jax.random.split(key)
+        rngs = {"params": k_init}
+        if rngs_extra:
+            rngs.update(rngs_extra)
+        x = jnp.zeros(input_shape, jnp.float32)
+        variables = jax.jit(
+            lambda: net.init(rngs, x, train=False)
+        )()
+        if init_type is None:
+            init_type = "kaiming"
+        params = init_weights(variables["params"], k_weights, init_type, init_gain)
+        variables = dict(variables)
+        variables["params"] = params
+        return variables
+
+    def get_valid_context(self, net, net_kwargs, side_length=None):
+        """Voxels shaved per side by a valid-padded net (parity:
+        ``BaseSystem.py:244-255``), via eval_shape (no FLOPs)."""
+        side_length = side_length or self.side_length
+        shape = (1,) + (int(side_length),) * self.ndims + (net_kwargs.get("input_nc", 1),)
+        x = jnp.zeros(shape, jnp.float32)
+        out = jax.eval_shape(
+            lambda: net.init_with_output(jax.random.PRNGKey(0), x, train=False)
+        )[0]
+        out_shape = out.shape if hasattr(out, "shape") else out[0].shape
+        return tuple(
+            int(np.ceil((i - o) / 2))
+            for i, o in zip(shape[1:-1], out_shape[1:-1])
+        )
+
+    # -- abstract hooks -----------------------------------------------------
+    @abstractmethod
+    def setup_networks(self):
+        raise NotImplementedError()
+
+    @abstractmethod
+    def setup_model(self):
+        raise NotImplementedError()
+
+    @abstractmethod
+    def setup_optimization(self):
+        raise NotImplementedError()
+
+    @abstractmethod
+    def setup_datapipes(self):
+        raise NotImplementedError()
+
+    @abstractmethod
+    def make_request(self, mode: str = "train"):
+        raise NotImplementedError()
+
+    def setup_trainer(self):
+        raise NotImplementedError()
+
+    # -- drivers --------------------------------------------------------------
+    def build_system(self):
+        if self._built:
+            return
+        self.setup_networks()
+        self.setup_model()
+        self.setup_optimization()
+        self.setup_datapipes()
+        self.setup_trainer()
+        self._built = True
+
+    def train(self):
+        self.build_system()
+        return self.trainer.train()
+
+    def test(self, mode: str = "eval"):
+        self.build_system()
+        return self.trainer_test(mode)

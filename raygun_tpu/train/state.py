@@ -1,0 +1,86 @@
+"""Train state + checkpoint lifecycle.
+
+Capability parity with the reference's checkpointing contract (SURVEY §5.4;
+reference ``train/BaseTrain.py:72-74``, ``systems/BaseSystem.py:100-143``):
+checkpoints are written every ``save_every`` steps to
+``{checkpoint_basename}_checkpoint_{iter}`` and the latest is rediscovered by
+natural-sort glob on resume. Improvement over the reference (which saves
+model weights only): the FULL train state — params, optimizer moments, step,
+norm statistics, PRNG key — is checkpointed, so resume is exact.
+
+Format: a single msgpack file via flax.serialization (fast, portable,
+no directory-layout dependency), matching the reference's single-file naming
+so downstream tooling (predict worker, checkpoint pickers) can glob the same
+patterns (reference ``worker.py:50-54``, ``inspect_logs.py:276-277``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from glob import glob
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+from flax import serialization
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Generic train state; systems may subclass for extra fields."""
+
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    extra: Dict[str, Any] = struct.field(default_factory=dict)
+    rng: Optional[jax.Array] = None
+
+
+def natural_keys(text: str):
+    return [int(c) if c.isdigit() else c for c in re.split(r"(\d+)", text)]
+
+
+def latest_checkpoint(basename: str) -> Tuple[Optional[str], int]:
+    """Find newest ``{basename}_checkpoint_*`` (parity with reference
+    ``BaseSystem.py:125-143``)."""
+    checkpoints = glob(basename + "_checkpoint_*")
+    checkpoints.sort(key=natural_keys)
+    if checkpoints:
+        checkpoint = checkpoints[-1]
+        try:
+            iteration = int(checkpoint.split("_")[-1])
+        except ValueError:
+            return checkpoint, 0
+        return checkpoint, iteration
+    return None, 0
+
+
+def save_checkpoint(basename: str, step: int, state: Any) -> str:
+    path = f"{basename}_checkpoint_{step}"
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    data = serialization.to_bytes(jax.device_get(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: no truncated checkpoints on crash
+    return path
+
+
+def load_checkpoint(path: str, template: Any) -> Any:
+    """Restore into a pytree of the same structure as ``template``."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def load_params_only(path: str, params_template: Any) -> Any:
+    """Load just the params sub-tree from a full-state checkpoint (the
+    predict worker's need — reference ``worker.py:48-66``)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    state_dict = serialization.msgpack_restore(data)
+    if "params" in state_dict:
+        return serialization.from_state_dict(params_template, state_dict["params"])
+    return serialization.from_state_dict(params_template, state_dict)
