@@ -1,0 +1,230 @@
+"""Blockwise whole-volume inference: the daisy replacement.
+
+The reference scales inference by daisy blockwise fan-out: a TCP server
+leases ROI blocks to GPU worker processes that read/compute/write zarr
+(reference ``predict.py:154-170``, ``torch/predict/worker.py:94-161``).
+TPU-native redesign, two tiers:
+
+1. :class:`BlockwiseRunner` — single-host scheduler: deterministic block
+   grid (``core.roi.block_grid``), double-buffered async tensorstore reads
+   and writes overlapped with jitted forward passes, bounded retries
+   (daisy's ``max_retries``). No TCP: the grid is a pure function of the
+   ROI, so any worker can recompute its assignment (multi-host splits the
+   grid by ``jax.process_index()``).
+
+2. :func:`halo_exchange_1d` / :func:`sharded_infer_1d` — whole-volume
+   inference as ONE sharded program over a device mesh: the volume is
+   sharded along z, halo slabs move over ICI via ``lax.ppermute``, and each
+   chip runs the valid-conv net on shard+halo. Replaces file-mediated worker
+   swarms for volumes that fit the pod (SURVEY §5.7's north star).
+
+Seam-freeness in both tiers relies on the networks' translation-equivariance
+crops (``nn/layers.crop_to_factor``): outputs of adjacent blocks agree
+exactly, which ``tests/distributed`` asserts.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.roi import Coordinate, Roi, block_grid
+from ..io.volume import Volume
+
+
+class BlockwiseRunner:
+    """Run ``fn`` over a block grid with overlapped IO.
+
+    ``fn(block_input) -> dict[name, array]``: jitted forward on one read
+    block (channels-last, no batch dim handled here).
+    ``source``: input Volume; ``outputs``: dict name → (Volume, num_channels).
+    ``input_shape``/``output_shape``: voxel shapes of the net's read/write.
+    """
+
+    def __init__(
+        self,
+        source: Volume,
+        outputs: Dict[str, Volume],
+        fn: Callable,
+        input_shape: Sequence[int],
+        output_shape: Sequence[int],
+        total_roi: Optional[Roi] = None,
+        max_retries: int = 2,
+        normalize_fn: Optional[Callable] = None,
+        process_index: int = 0,
+        num_processes: int = 1,
+    ):
+        self.source = source
+        self.outputs = outputs
+        self.fn = fn
+        self.input_shape = tuple(input_shape)
+        self.output_shape = tuple(output_shape)
+        self.voxel_size = source.voxel_size
+        self.total_roi = total_roi if total_roi is not None else source.roi
+        context_vox = tuple(
+            (i - o) // 2 for i, o in zip(self.input_shape, self.output_shape)
+        )
+        self.context = Coordinate(context_vox) * self.voxel_size
+        self.write_size = Coordinate(self.output_shape) * self.voxel_size
+        blocks = block_grid(self.total_roi, self.write_size, self.context)
+        # static multi-host split (replaces daisy's TCP lease server)
+        self.blocks = blocks[process_index::num_processes]
+        self.max_retries = max_retries
+        self.normalize_fn = normalize_fn
+        self.stats = {"blocks": 0, "read_s": 0.0, "compute_s": 0.0, "write_s": 0.0}
+
+    def _prep(self, data: np.ndarray) -> jnp.ndarray:
+        if self.normalize_fn is not None:
+            data = self.normalize_fn(data)
+        x = jnp.asarray(data, jnp.float32)
+        if x.ndim == len(self.input_shape):
+            x = x[..., None]
+        return x[None]  # batch dim
+
+    def _crop_to_write(self, out: np.ndarray, write: Roi, nominal_write: Roi):
+        """Boundary blocks write a clipped ROI; crop the array to match."""
+        if write == nominal_write:
+            return out
+        rel = (write.offset - nominal_write.offset) / self.voxel_size
+        shape = write.voxel_shape(self.voxel_size)
+        sl = tuple(slice(int(r), int(r) + s) for r, s in zip(rel, shape))
+        return out[sl]
+
+    def run(self, progress: bool = True) -> dict:
+        pending_writes: List = []
+        read_future = None
+        read_block = None
+
+        def start_read(i):
+            write, read = self.blocks[i]
+            # nominal read: write grown to full input even when clipped
+            nominal_write = Roi(write.offset, self.write_size)
+            nominal_read = nominal_write.grow(self.context, self.context)
+            return self.source.read_async(nominal_read), (write, nominal_write)
+
+        n = len(self.blocks)
+        if n == 0:
+            return self.stats
+        read_future, read_block = start_read(0)
+        for i in range(n):
+            t0 = time.perf_counter()
+            data = np.asarray(read_future.result())
+            write, nominal_write = read_block
+            self.stats["read_s"] += time.perf_counter() - t0
+            if i + 1 < n:
+                read_future, read_block = start_read(i + 1)  # prefetch next
+
+            t0 = time.perf_counter()
+            for attempt in range(self.max_retries + 1):
+                try:
+                    outs = self.fn(self._prep(data))
+                    outs = {k: np.asarray(v) for k, v in outs.items()}
+                    break
+                except Exception:
+                    if attempt == self.max_retries:
+                        raise
+            self.stats["compute_s"] += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            for name, arr in outs.items():
+                if name not in self.outputs:
+                    continue
+                vol = self.outputs[name]
+                a = arr[0]  # drop batch
+                has_channels = a.ndim == len(self.output_shape) + 1
+                a = self._crop_to_write(a, write, nominal_write)
+                if has_channels:
+                    a = np.moveaxis(a, -1, 0)  # channels-first on disk
+                if vol.dtype != a.dtype:
+                    a = _rescale_to_dtype(a, vol.dtype)
+                pending_writes.append(vol.write_async(write, a))
+            # bound the write queue
+            while len(pending_writes) > 8:
+                pending_writes.pop(0).result()
+            self.stats["write_s"] += time.perf_counter() - t0
+            self.stats["blocks"] += 1
+        for w in pending_writes:
+            w.result()
+        return self.stats
+
+
+def _rescale_to_dtype(a: np.ndarray, dtype) -> np.ndarray:
+    """float [0,1] predictions → integer dtype range (parity: reference
+    ``worker.py:116-161`` rescale-to-out-dtype)."""
+    dtype = np.dtype(dtype)
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(a * info.max, info.min, info.max).astype(dtype)
+    return a.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded whole-volume inference with ICI halo exchange
+# ---------------------------------------------------------------------------
+
+def halo_exchange_1d(x: jax.Array, halo: int, axis_name: str, axis: int = 0) -> jax.Array:
+    """Concatenate each shard with ``halo`` voxels from its mesh neighbors
+    along ``axis`` (edge shards pad by reflection). Halo slabs move over ICI
+    via ``ppermute`` — the TPU-native equivalent of daisy's overlapping read
+    ROIs (reference ``predict.py:92-97``)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def take(arr, sl):
+        slicer = [slice(None)] * arr.ndim
+        slicer[axis] = sl
+        return arr[tuple(slicer)]
+
+    # slab I send right = my high edge; received from left neighbor
+    high = take(x, slice(x.shape[axis] - halo, None))
+    low = take(x, slice(0, halo))
+    from_left = jax.lax.ppermute(
+        high, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_right = jax.lax.ppermute(
+        low, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    # edge shards: reflect own data (callers should arrange the global ROI so
+    # edge halos fall outside the write region, or pre-pad the volume)
+    reflect_low = jnp.flip(low, axis=axis)
+    reflect_high = jnp.flip(high, axis=axis)
+    left = jnp.where(idx == 0, reflect_low, from_left)
+    right = jnp.where(idx == n - 1, reflect_high, from_right)
+    return jnp.concatenate([left, x, right], axis=axis)
+
+
+def make_sharded_infer_1d(
+    model_fn: Callable,
+    mesh: Mesh,
+    halo: int,
+    axis_name: str = "block",
+    spatial_axis: int = 0,
+):
+    """Whole-volume inference as one jitted sharded program.
+
+    ``model_fn(x)``: valid-conv net mapping ``(*in_spatial, C) →
+    (*out_spatial, C')`` where in = out + 2·halo on ``spatial_axis`` (and
+    equal elsewhere — the caller supplies context on non-sharded axes by
+    growing the input ROI). Input array is sharded along ``spatial_axis``;
+    output comes back sharded the same way.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    in_spec = P(*([None] * spatial_axis + [axis_name]))
+    out_spec = in_spec
+
+    def per_shard(x):
+        x = halo_exchange_1d(x, halo, axis_name, axis=spatial_axis)
+        return model_fn(x)
+
+    sharded = shard_map(
+        per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(sharded)

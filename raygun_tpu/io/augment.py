@@ -181,9 +181,15 @@ def elastic_coordinates(
     jitter_sigma: Sequence[float],
     rotation_interval: Tuple[float, float] = (0.0, math.pi / 2),
     subsample: int = 4,
+    num_rotation_draws: int = 1,
 ) -> Array:
     """Sampling coordinates (nd, *target_shape) into a source crop centered
-    on the target: rotation (last-two-axes plane) ∘ displacement."""
+    on the target: rotation (last-two-axes plane) ∘ displacement.
+
+    ``num_rotation_draws > 1`` sums that many uniform draws — the
+    distributional equivalent of the reference stacking several
+    ElasticAugments each with its own rotation (reference
+    ``MTLSDDataPipe.py:62-90`` applies two)."""
     nd = len(target_shape)
     k_rot, k_disp = jax.random.split(key)
     # identity grid centered in the source crop
@@ -194,7 +200,9 @@ def elastic_coordinates(
 
     # rotation in the plane of the last two axes
     lo, hi = rotation_interval
-    theta = jax.random.uniform(k_rot, (), minval=lo, maxval=hi)
+    theta = jnp.sum(
+        jax.random.uniform(k_rot, (num_rotation_draws,), minval=lo, maxval=hi)
+    )
     c, s = jnp.cos(theta), jnp.sin(theta)
     y, x = coords[-2], coords[-1]
     coords[-2] = c * y - s * x
@@ -228,6 +236,7 @@ def elastic_augment(
     rotation_interval: Tuple[float, float] = (0.0, math.pi / 2),
     subsample: int = 4,
     label_arrays: Sequence[str] = ("labels", "labels_mask", "cell_mask"),
+    num_rotation_draws: int = 1,
 ) -> Dict[str, Array]:
     """Warp all arrays with one shared random deformation (gp.ElasticAugment
     parity). Source arrays must be larger than ``target_shape`` by
@@ -238,7 +247,7 @@ def elastic_augment(
         break
     coords = elastic_coordinates(
         key, src_shape, target_shape, control_point_spacing, jitter_sigma,
-        rotation_interval, subsample,
+        rotation_interval, subsample, num_rotation_draws,
     )
     out = {}
     for name, a in arrays.items():

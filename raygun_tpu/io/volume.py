@@ -29,9 +29,10 @@ def _dataset_format(path: str) -> str:
 
 
 def _spec(path: str, ds_name: str, fmt: str) -> dict:
+    # tensorstore requires absolute file paths in kvstore specs
     return {
         "driver": fmt,
-        "kvstore": {"driver": "file", "path": os.path.join(path, ds_name)},
+        "kvstore": {"driver": "file", "path": os.path.abspath(os.path.join(path, ds_name))},
     }
 
 

@@ -120,12 +120,13 @@ class Trainer:
 
         arrays = jax.device_get(self.snapshot_fn(self.state, key))
         path = f"{self.snapshot_dir}/{step}.zarr"
+        nd = len(self.voxel_size)
         for name, arr in arrays.items():
             arr = np.asarray(arr)
-            # drop batch dim, move channels first for zarr convention
-            if arr.ndim >= 2 and arr.shape[0] == 1:
+            # contract: snapshot_fn returns BATCHED arrays (B, *spatial[, C]);
+            # write the first element, channels-first on disk
+            if arr.ndim > nd:
                 arr = arr[0]
-            nd = len(self.voxel_size)
             if arr.ndim == nd + 1:  # channels-last -> channels-first
                 arr = np.moveaxis(arr, -1, 0)
                 channels = arr.shape[0]
