@@ -1,0 +1,122 @@
+"""Benchmark: blockwise 3D U-Net affinity inference, voxels/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the reference MTLSD production architecture (valid 3D U-Net,
+ngf=12, fmap_inc=6, three (2,2,2) levels, constant upsample, 20 affinity +
+10 LSD sigmoid heads; 196³ input → 104³ output @30nm — reference
+``default_MTLSD_conf.json:132-146``), run blockwise in bf16 on one chip.
+
+Baseline (vs_baseline denominator): the reference implementation's estimated
+A100 throughput for the same net, derived analytically because the reference
+publishes no throughput numbers (BASELINE.md):
+  A100 TF32 peak 156 TFLOP/s × 0.30 achievable 3D-conv efficiency (cuDNN,
+  mixed small/large channel counts) = 46.8 TFLOP/s effective; torch defaults
+  to TF32 for convs. voxels/sec = effective_flops / flops_per_output_voxel
+  (flops from XLA's own cost analysis of this exact network). This ignores
+  the reference's daisy/python per-block overheads, i.e. it is a GENEROUS
+  baseline.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    from raygun_tpu.systems.mtlsd import MTLSDModel
+
+    unet_kwargs = dict(
+        input_nc=1, ngf=12, fmap_inc_factor=6,
+        downsample_factors=[(2, 2, 2), (2, 2, 2), (2, 2, 2)],
+        constant_upsample=True,
+    )
+    model = MTLSDModel(unet_kwargs=unet_kwargs, num_affs=20)
+    input_shape = (196, 196, 196)
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    x = jnp.zeros((1,) + input_shape + (1,), jnp.bfloat16)
+    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()[
+        "params"
+    ]
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd(params, x):
+        affs, lsds = model.apply({"params": params}, x, train=False)
+        return affs, lsds
+
+    @jax.jit
+    def fwd_probe(params, x):
+        # scalar checksum output: through the axon relay, blocking on large
+        # outputs does not force execution; a scalar fetch does.
+        affs, lsds = model.apply({"params": params}, x, train=False)
+        return jnp.sum(affs.astype(jnp.float32)) + jnp.sum(lsds.astype(jnp.float32))
+
+    # compile + output shape
+    lowered = fwd.lower(params, x)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    out_shape = jax.eval_shape(fwd, params, x)[0].shape
+    out_voxels = int(np.prod(out_shape[1:-1]))
+    flops_per_voxel = flops / out_voxels
+    print(
+        f"model: {input_shape} -> {out_shape[1:-1]}, "
+        f"{flops/1e9:.1f} GFLOP/block, {flops_per_voxel/1e3:.1f} kFLOP/voxel",
+        file=sys.stderr,
+    )
+
+    # warm up and measure steady-state block rate (device-resident inputs;
+    # the separate blockwise IO path overlaps tensorstore reads/writes with
+    # compute, see raygun_tpu/distributed/blockwise.py).
+    # NOTE: inputs must be DISTINCT per iteration — the axon remote executor
+    # dedupes identical requests, which fakes impossible throughput.
+    n_iters = 8
+    keys = jax.random.split(jax.random.PRNGKey(1), n_iters)
+    inputs = [jax.random.uniform(k, x.shape, jnp.bfloat16) for k in keys]
+    jax.block_until_ready(inputs)
+
+    s0 = fwd_probe(params, inputs[0])
+    _ = float(s0)
+    t0 = time.perf_counter()
+    outs = [fwd_probe(params, xi) for xi in inputs]
+    _ = [float(o) for o in outs]  # fetch forces execution of every block
+    dt = (time.perf_counter() - t0) / n_iters
+
+    voxels_per_sec = out_voxels / dt
+    achieved_tflops = flops / dt / 1e12
+    print(
+        f"{dt*1e3:.1f} ms/block, {voxels_per_sec/1e6:.2f} Mvoxel/s, "
+        f"{achieved_tflops:.1f} TFLOP/s achieved",
+        file=sys.stderr,
+    )
+
+    # analytic A100 reference baseline (see module docstring)
+    a100_effective_flops = 156e12 * 0.30
+    baseline_voxels_per_sec = a100_effective_flops / flops_per_voxel
+
+    print(
+        json.dumps(
+            {
+                "metric": "3D U-Net affinity inference voxels/sec/chip (MTLSD 196^3->104^3, bf16)",
+                "value": round(voxels_per_sec, 1),
+                "unit": "voxels/sec/chip",
+                "vs_baseline": round(voxels_per_sec / baseline_voxels_per_sec, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from .mesh import make_mesh, spec
+from .blockwise import (
+    BlockwiseRunner, halo_exchange_1d, make_sharded_infer_1d,
+)

@@ -82,8 +82,15 @@ class BlockwiseRunner:
     def _prep(self, data: np.ndarray) -> jnp.ndarray:
         if self.normalize_fn is not None:
             data = self.normalize_fn(data)
+        # boundary blocks read less than input_shape: pad the high side so
+        # every block hits the same compiled forward (static shapes)
+        nd = len(self.input_shape)
+        if data.shape[:nd] != self.input_shape:
+            pad = [(0, t - s) for t, s in zip(self.input_shape, data.shape[:nd])]
+            pad += [(0, 0)] * (data.ndim - nd)
+            data = np.pad(data, pad, mode="reflect")
         x = jnp.asarray(data, jnp.float32)
-        if x.ndim == len(self.input_shape):
+        if x.ndim == nd:
             x = x[..., None]
         return x[None]  # batch dim
 
@@ -102,11 +109,12 @@ class BlockwiseRunner:
         read_block = None
 
         def start_read(i):
+            # read only the (possibly clipped) block's real region; the input
+            # is padded back to the static input_shape at the high side in
+            # _prep, keeping one compiled forward for every block.
             write, read = self.blocks[i]
-            # nominal read: write grown to full input even when clipped
             nominal_write = Roi(write.offset, self.write_size)
-            nominal_read = nominal_write.grow(self.context, self.context)
-            return self.source.read_async(nominal_read), (write, nominal_write)
+            return self.source.read_async(read), (write, nominal_write)
 
         n = len(self.blocks)
         if n == 0:

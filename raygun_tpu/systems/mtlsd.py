@@ -341,6 +341,38 @@ class MTLSD(BaseSystem):
 
         return fwd
 
+    def predict_setup(self, checkpoint=None, net_name=None):
+        """Build the jitted forward + output spec for blockwise prediction
+        (the reference worker's load-system-pick-net path,
+        ``worker.py:48-71``). ``checkpoint`` may be an iteration number or a
+        path; None → newest."""
+        from ..train.state import load_params_only
+
+        self.setup_model()
+        if checkpoint is not None and not os.path.exists(str(checkpoint)):
+            checkpoint = f"{self.checkpoint_basename}_checkpoint_{checkpoint}"
+        if checkpoint is None:
+            checkpoint, _ = latest_checkpoint(self.checkpoint_basename)
+        if checkpoint is None:
+            raise FileNotFoundError(
+                f"no checkpoint at {self.checkpoint_basename}_checkpoint_*"
+            )
+        params = load_params_only(str(checkpoint), self.params)
+        model = self.model
+
+        @jax.jit
+        def fwd(x):
+            affs, lsds = model.apply({"params": params}, x, train=False)
+            out = {"affs": affs}
+            if self.lsd_kwargs:
+                out["lsds"] = lsds
+            return out
+
+        spec = [("affs", int(self.model_kwargs.get("num_affs", 3)))]
+        if self.lsd_kwargs:
+            spec.append(("lsds", int(self.model_kwargs.get("num_lsds", 10))))
+        return fwd, spec
+
     def load_saved_model(self, checkpoint: Optional[str] = None):
         """Load newest (or given) checkpoint into state (parity: reference
         ``BaseSystem.py:100-123``)."""

@@ -1,0 +1,152 @@
+"""Blockwise inference correctness: seam-freeness (blockwise == single pass)
+and ICI halo exchange on the 8-device CPU mesh (SURVEY §5.7 north star)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from raygun_tpu.core import Coordinate, Roi
+from raygun_tpu.distributed import (
+    BlockwiseRunner,
+    halo_exchange_1d,
+    make_mesh,
+    make_sharded_infer_1d,
+)
+from raygun_tpu.io import open_ds, prepare_ds
+from raygun_tpu.nn import ConvPass
+
+
+class TinyValidNet(nn.Module):
+    """Two valid 3^3 convs: consumes 4 voxels per axis (context 2)."""
+
+    features: int = 3
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return ConvPass(
+            output_nc=self.features, kernel_sizes=[(3, 3, 3), (3, 3, 3)],
+            activation="tanh", padding="valid",
+        )(x, train=train)
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = TinyValidNet()
+    x = jnp.zeros((1, 12, 12, 12, 1))
+    variables = net.init(jax.random.PRNGKey(7), x)
+    return net, variables["params"]
+
+
+def test_blockwise_matches_single_pass(tmp_path, net_and_params):
+    net, params = net_and_params
+    rng = np.random.default_rng(0)
+    vol_shape = (28, 28, 28)
+    data = rng.random(vol_shape).astype(np.float32)
+    vx = Coordinate(10, 10, 10)
+    total = Roi((0, 0, 0), Coordinate(vol_shape) * vx)
+
+    path = str(tmp_path / "in.zarr")
+    src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+    src.write(total, data)
+
+    input_shape, output_shape = (12, 12, 12), (8, 8, 8)
+    context = 2
+    write_roi = total.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+    dest = prepare_ds(path, "out", write_roi, vx, np.float32, num_channels=3, delete=True)
+
+    fwd = jax.jit(lambda x: {"out": net.apply({"params": params}, x)})
+    runner = BlockwiseRunner(
+        source=open_ds(path, "raw"),
+        outputs={"out": dest},
+        fn=fwd,
+        input_shape=input_shape,
+        output_shape=output_shape,
+    )
+    stats = runner.run()
+    assert stats["blocks"] == 27  # 24/8 = 3 per dim
+
+    blockwise = open_ds(path, "out").read()
+    # single full pass over the grown read region
+    full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+    full = np.moveaxis(np.asarray(full[0]), -1, 0)  # (3, 24, 24, 24)
+    assert blockwise.shape == full.shape
+    np.testing.assert_allclose(blockwise, full, rtol=0, atol=1e-5)
+
+
+def test_blockwise_boundary_clipping(tmp_path, net_and_params):
+    """Non-divisible volumes: boundary blocks write clipped ROIs."""
+    net, params = net_and_params
+    rng = np.random.default_rng(1)
+    vol_shape = (24, 24, 24)  # writable 20^3, blocks of 8 -> 8+8+4 per dim
+    data = rng.random(vol_shape).astype(np.float32)
+    vx = Coordinate(10, 10, 10)
+    total = Roi((0, 0, 0), Coordinate(vol_shape) * vx)
+    path = str(tmp_path / "in2.zarr")
+    src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+    src.write(total, data)
+    write_roi = total.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+    dest = prepare_ds(path, "out", write_roi, vx, np.float32, num_channels=3, delete=True)
+
+    fwd = jax.jit(lambda x: {"out": net.apply({"params": params}, x)})
+    runner = BlockwiseRunner(
+        source=open_ds(path, "raw"), outputs={"out": dest}, fn=fwd,
+        input_shape=(12, 12, 12), output_shape=(8, 8, 8),
+    )
+    runner.run()
+    blockwise = open_ds(path, "out").read()
+    full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+    full = np.moveaxis(np.asarray(full[0]), -1, 0)
+    np.testing.assert_allclose(blockwise, full, rtol=0, atol=1e-5)
+
+
+class TestHaloExchange:
+    def test_halo_matches_reflect_pad(self):
+        """sharded shard+halo concat == reflect-padded full volume slabs."""
+        n = 8
+        mesh = make_mesh((n,), ("block",))
+        Z = 32
+        x = jnp.asarray(np.random.default_rng(2).random((Z, 4, 4)).astype(np.float32))
+        h = 2
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        gathered = shard_map(
+            lambda s: halo_exchange_1d(s, h, "block", axis=0),
+            mesh=mesh, in_specs=(P("block"),), out_specs=P("block"),
+            check_rep=False,
+        )(x)
+        # per-shard size with halo: Z/n + 2h; global concat: Z + n*2h
+        assert gathered.shape == (Z + n * 2 * h, 4, 4)
+        ref_pad = jnp.concatenate([jnp.flip(x[:h], 0), x, jnp.flip(x[-h:], 0)], 0)
+        shard = Z // n
+        for i in range(n):
+            got = np.asarray(gathered[i * (shard + 2 * h):(i + 1) * (shard + 2 * h)])
+            want = np.asarray(ref_pad[i * shard:i * shard + shard + 2 * h])
+            np.testing.assert_array_equal(got, want)
+
+    def test_sharded_infer_seam_free(self, net_and_params):
+        """Whole-volume sharded inference == single-device computation."""
+        net, params = net_and_params
+        n = 8
+        mesh = make_mesh((n,), ("block",))
+        Z, Y, X = 32, 12, 12
+        x = jnp.asarray(
+            np.random.default_rng(3).random((Z, Y, X, 1)).astype(np.float32)
+        )
+
+        def model_fn(v):
+            # valid conv consumes 4 per axis; reflect-pad y/x so only z shrinks
+            v = jnp.pad(v, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+            return net.apply({"params": params}, v[None])[0]
+
+        infer = make_sharded_infer_1d(model_fn, mesh, halo=2, spatial_axis=0)
+        out = infer(x)
+        assert out.shape == (Z, Y, X, 3)
+
+        # reference: same computation single-device with reflect-padded z
+        xp = jnp.concatenate([jnp.flip(x[:2], 0), x, jnp.flip(x[-2:], 0)], 0)
+        ref = model_fn(xp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
