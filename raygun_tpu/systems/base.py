@@ -134,26 +134,35 @@ class BaseSystem:
         if not add_final:
             return core
 
-        ngf = net_kwargs.get("ngf", 64)
         padding = net_kwargs.get("padding_type", "valid")
 
         class _WithHead(nn.Module):
-            """core + 1x..x1 conv head (+ final activation)."""
+            """core + 1x..x1 conv head (+ final activation) — the generator
+            assembly of reference ``BaseSystem.get_network`` (:210-224)."""
+
+            core: nn.Module
+            output_nc: int
+            ndims: int
+            padding: str
+            final_activation: Optional[str]
 
             @nn.compact
             def __call__(self, x, train: bool = True):
-                y = core(x, train=train)
+                y = self.core(x, train=train)
                 y = ConvNd(
-                    features=output_nc,
-                    kernel_size=(1,) * ndims,
-                    padding="valid" if padding == "valid" else "same",
+                    features=self.output_nc,
+                    kernel_size=(1,) * self.ndims,
+                    padding="valid" if self.padding == "valid" else "same",
                     name="head",
                 )(y)
-                if final_activation is not None:
-                    y = get_activation(final_activation)(y)
+                if self.final_activation is not None:
+                    y = get_activation(self.final_activation)(y)
                 return y
 
-        return _WithHead()
+        return _WithHead(
+            core=core, output_nc=output_nc, ndims=ndims, padding=padding,
+            final_activation=final_activation,
+        )
 
     def init_network_params(self, net, input_shape, init_type=None, init_gain=0.02,
                             key=None, rngs_extra=None):

@@ -1,0 +1,475 @@
+"""CycleGAN system: unsupervised A↔B volume translation.
+
+Capability parity with reference ``src/raygun/torch/systems/CycleGAN.py`` +
+``models/CycleModel.py`` + ``losses/{LinkCycleLoss,SplitCycleLoss,GANLoss}.py``
++ ``io/CycleDataPipe.py``: two generators + two PatchGAN discriminators,
+λ-dict-driven SmoothL1 cycle/identity terms and lsgan/vanilla/wgangp GAN
+terms, link (joint-G optimization, gradients flow through the cycle) vs
+split (per-G optimization with cross-detached cycles) loss styles, common-
+voxel-size resampling, [-1, 1] intensity domain, mirror/transpose + elastic
+augmentation, 2D-in-3D anisotropic mode, sampling bottleneck.
+
+TPU-first: the reference steps optimizers inside loss.forward with
+requires_grad toggling and a dummy backward (``LinkCycleLoss.py:113-176``).
+Here the step decomposes into explicit jitted phases with identical update
+order and gradient flow:
+  1. one forward with CURRENT G params produces fakes/cycles;
+  2. G-phase: grads of the λ-weighted G losses w.r.t. G params only (D
+     params never receive these grads — the functional equivalent of
+     set_requires_grad(D, False)); link = one joint optimizer over G1+G2,
+     split = per-G grads with stop_gradient on the crossing fake;
+  3. D-phase: grads w.r.t. D params using the PRE-UPDATE fakes
+     (stop_gradient), matching the reference's detached data_dict tensors.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.roi import Coordinate, Roi
+from ..io import (
+    DeviceVolumeSampler,
+    elastic_coordinates,
+    elastic_margin,
+    intensity_scale_shift,
+    normalize,
+    open_ds,
+    simple_augment,
+    warp,
+)
+from ..nn.layers import center_crop, interpolate
+from ..train.loop import Trainer
+from ..train.state import TrainState, latest_checkpoint, load_checkpoint, load_params_only
+from .base import BaseSystem
+from .mtlsd import get_optimizer
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def gan_loss(pred: jax.Array, target_is_real: bool, gan_mode: str = "lsgan") -> jax.Array:
+    """Parity with reference ``GANLoss.py:24-64``."""
+    if gan_mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean((pred - target) ** 2)
+    if gan_mode == "vanilla":
+        target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(pred, target))
+    if gan_mode == "wgangp":
+        return -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+    raise NotImplementedError(f"gan mode {gan_mode} not implemented")
+
+
+def smooth_l1(a: jax.Array, b: jax.Array) -> jax.Array:
+    """torch.nn.SmoothL1Loss (huber, delta=1) parity."""
+    return jnp.mean(optax.losses.huber_loss(a, b, delta=1.0))
+
+
+DEFAULT_G_LAMBDAS = {
+    "A": {"l1_loss": {"cycled": 10, "identity": 0}, "gan_loss": {"fake": 1, "cycled": 0}},
+    "B": {"l1_loss": {"cycled": 10, "identity": 0}, "gan_loss": {"fake": 1, "cycled": 0}},
+}
+DEFAULT_D_LAMBDAS = {
+    "A": {"real": 1, "fake": 1, "cycled": 0},
+    "B": {"real": 1, "fake": 1, "cycled": 0},
+}
+
+
+class CycleGAN(BaseSystem):
+    def __init__(self, config=None):
+        super().__init__(config=config, default_config="default_cycleGAN_conf.json")
+
+        if self.common_voxel_size is None:
+            self.common_voxel_size = Coordinate(
+                open_ds(self.sources["B"]["path"], self.sources["B"]["name"]).voxel_size
+            )
+        else:
+            self.common_voxel_size = Coordinate(self.common_voxel_size)
+        if self.ndims is None:
+            self.ndims = int(
+                np.sum(np.array(self.common_voxel_size) == np.min(self.common_voxel_size))
+            )
+        self.loss_kwargs = dict(self.loss_kwargs or {})
+        self.g_lambda_dict = self.loss_kwargs.get("g_lambda_dict", DEFAULT_G_LAMBDAS)
+        self.d_lambda_dict = self.loss_kwargs.get("d_lambda_dict", DEFAULT_D_LAMBDAS)
+        self.gan_mode = self.loss_kwargs.get("gan_mode", "lsgan")
+        self.side_length = int(self.side_length)
+
+    # -- networks / model ---------------------------------------------------
+    def setup_networks(self):
+        self.netG1 = self.get_network(self.gnet_type, self.gnet_kwargs)
+        self.netG2 = self.get_network(self.gnet_type, self.gnet_kwargs)
+        self.netD1 = self.get_network(self.dnet_type, self.dnet_kwargs)
+        self.netD2 = self.get_network(self.dnet_type, self.dnet_kwargs)
+
+        in_shape = (1,) + (self.side_length,) * self.ndims + (
+            self.gnet_kwargs.get("input_nc", 1),
+        )
+        self.params = {}
+        for name, net, init_type in (
+            ("G1", self.netG1, "normal"),
+            ("G2", self.netG2, "normal"),
+            ("D1", self.netD1, "normal"),
+            ("D2", self.netD2, "normal"),
+        ):
+            variables = self.init_network_params(
+                net, in_shape, init_type=init_type, init_gain=0.02
+            )
+            self.params[name] = variables["params"]
+
+        # valid-conv output size probe (reference CycleGAN.get_extents)
+        out = jax.eval_shape(
+            lambda p: self.netG1.apply(
+                {"params": p}, jnp.zeros(in_shape, jnp.float32), train=False
+            ),
+            self.params["G1"],
+        )
+        self.gnet_out_length = int(out.shape[1])
+        if self.gnet_out_length == self.side_length:
+            self.cycle_length = self.side_length
+        else:
+            out2 = jax.eval_shape(
+                lambda p: self.netG1.apply(
+                    {"params": p},
+                    jnp.zeros(
+                        (1,) + (self.gnet_out_length,) * self.ndims + (1,), jnp.float32
+                    ),
+                    train=False,
+                ),
+                self.params["G1"],
+            )
+            self.cycle_length = int(out2.shape[1])
+
+    def setup_model(self):
+        if not hasattr(self, "netG1"):
+            self.setup_networks()
+        self.split = self.loss_type.lower() == "split"
+
+    def _g_apply(self, which: str, params, x, train=True):
+        net = self.netG1 if which == "G1" else self.netG2
+        return net.apply({"params": params}, x, train=train)
+
+    def _d_apply(self, which: str, params, x, train=True):
+        net = self.netD1 if which == "D1" else self.netD2
+        return net.apply({"params": params}, x, train=train)
+
+    # -- optimization ---------------------------------------------------------
+    def setup_optimization(self):
+        g_tx = get_optimizer(self.g_optim_type, _clean_optim(self.g_optim_kwargs))
+        d_tx = get_optimizer(self.d_optim_type, _clean_optim(self.d_optim_kwargs))
+        self.d_tx = d_tx
+        if self.split:
+            self.g1_tx, self.g2_tx = g_tx, get_optimizer(
+                self.g_optim_type, _clean_optim(self.g_optim_kwargs)
+            )
+            opt_state = {
+                "G1": self.g1_tx.init(self.params["G1"]),
+                "G2": self.g2_tx.init(self.params["G2"]),
+                "D": d_tx.init({"D1": self.params["D1"], "D2": self.params["D2"]}),
+            }
+        else:
+            self.g_tx = g_tx
+            opt_state = {
+                "G": g_tx.init({"G1": self.params["G1"], "G2": self.params["G2"]}),
+                "D": d_tx.init({"D1": self.params["D1"], "D2": self.params["D2"]}),
+            }
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=self.params, opt_state=opt_state
+        )
+
+    # -- data -----------------------------------------------------------------
+    def setup_datapipes(self):
+        """Two independent sides, each a device-resident sampler (gunpowder
+        CycleDataPipe capability: normalize → resample to common voxel size →
+        reject → elastic+simple augment → scale to [-1, 1])."""
+        self.samplers = {}
+        self.elastic_kwargs = {
+            # gunpowder hardcoded params (reference CycleDataPipe.py:139-150)
+            "control_point_spacing": (25,) * self.ndims,
+            "jitter_sigma": (1,) * self.ndims,
+            "subsample": 4,
+        }
+        jitter = self.elastic_kwargs["jitter_sigma"]
+        crop_len = tuple(
+            self.side_length + 2 * m
+            for m in elastic_margin((self.side_length,) * self.ndims, jitter)
+        )
+        for side in ("A", "B"):
+            src = self.sources[side]
+            vol = open_ds(src["path"], src["name"])
+            data = vol.read()
+            arrays = {"real": data}
+            mask_name = src.get("mask_name")
+            if mask_name:
+                arrays["mask"] = open_ds(src["path"], mask_name).read()
+            # resample to common voxel size on host (whole volume, once)
+            factor = tuple(
+                v / c for v, c in zip(vol.voxel_size, self.common_voxel_size)
+            )
+            if any(abs(f - 1) > 1e-6 for f in factor):
+                new_shape = tuple(
+                    int(round(s * f)) for s, f in zip(data.shape, factor)
+                )
+                arrays = {
+                    k: np.asarray(
+                        jax.image.resize(
+                            jnp.asarray(a, jnp.float32), new_shape,
+                            method="linear" if k == "real" else "nearest",
+                        )
+                    ).astype(a.dtype)
+                    for k, a in arrays.items()
+                }
+            # anisotropic 2D mode: sample single-section crops
+            if self.ndims < len(self.common_voxel_size):
+                crop_shape = (1,) * (len(self.common_voxel_size) - self.ndims) + crop_len
+            else:
+                crop_shape = crop_len
+            self.samplers[side] = DeviceVolumeSampler(
+                arrays,
+                crop_shape,
+                mask_name="mask" if "mask" in arrays else None,
+                min_masked=0.999 if "mask" in arrays else 0.0,
+            )
+
+    def _sample_side(self, side: str, key) -> jax.Array:
+        ks = jax.random.split(key, 3)
+        crop = self.samplers[side].sample(ks[0])["real"]
+        extra = crop.ndim - self.ndims
+        if extra:  # drop leading singleton z for 2D-in-3D mode
+            crop = crop.reshape(crop.shape[extra:])
+        raw = normalize(crop)
+        target = (self.side_length,) * self.ndims
+        coords = elastic_coordinates(
+            ks[1], raw.shape, target,
+            self.elastic_kwargs["control_point_spacing"],
+            self.elastic_kwargs["jitter_sigma"],
+            subsample=self.elastic_kwargs["subsample"],
+        )
+        raw = warp(raw, coords, order=1)
+        raw = simple_augment({"x": raw}, ks[2], ndims=self.ndims)["x"]
+        return intensity_scale_shift(raw, 2, -1)[..., None]
+
+    def make_batch(self, key) -> Dict[str, jax.Array]:
+        kA, kB = jax.random.split(key)
+        sample = lambda side, k: jax.vmap(
+            lambda kk: self._sample_side(side, kk)
+        )(jax.random.split(k, self.batch_size))
+        return {"real_A": sample("A", kA), "real_B": sample("B", kB)}
+
+    # -- the GAN step -----------------------------------------------------------
+    def _forward_cycle(self, g_params, real_A, real_B, split: bool, train=True):
+        """CycleModel.forward parity (reference ``CycleModel.py:37-89``)."""
+        fake_B = self._g_apply("G1", g_params["G1"], real_A, train)
+        fake_A = self._g_apply("G2", g_params["G2"], real_B, train)
+        in_B = jax.lax.stop_gradient(fake_B) if split else fake_B
+        in_A = jax.lax.stop_gradient(fake_A) if split else fake_A
+        cycled_A = self._g_apply("G2", g_params["G2"], in_B, train)
+        cycled_B = self._g_apply("G1", g_params["G1"], in_A, train)
+        return fake_B, fake_A, cycled_A, cycled_B
+
+    def _g_losses(self, g_params, d_params, real_A, real_B):
+        nd = self.ndims
+        fake_B, fake_A, cycled_A, cycled_B = self._forward_cycle(
+            g_params, real_A, real_B, self.split
+        )
+        metrics = {}
+
+        def side_loss(side, real, fake, cycled, gnet, dnet_params, dnet):
+            loss = 0.0
+            identity = None
+            for fcn_name, lambdas in self.g_lambda_dict[side].items():
+                for kind, lam in lambdas.items():
+                    if lam == 0:
+                        continue
+                    if kind == "identity" and identity is None:
+                        identity = self._g_apply(gnet, g_params[gnet], real)
+                    pred = {"cycled": cycled, "fake": fake, "identity": identity}[kind]
+                    if fcn_name == "l1_loss":
+                        tgt = real
+                        if real.shape[1:-1] != pred.shape[1:-1]:
+                            tgt = center_crop(real, pred.shape[-nd - 1:-1])
+                        term = smooth_l1(tgt, pred)
+                    elif fcn_name == "gan_loss":
+                        term = gan_loss(
+                            self._d_apply(dnet, jax.lax.stop_gradient(dnet_params), pred),
+                            True, self.gan_mode,
+                        )
+                    metrics[f"{fcn_name}/{kind}_{side}"] = term
+                    loss = loss + lam * term
+            return loss
+
+        # side B is G1's domain (G1: A->B); side A is G2's
+        loss_G1 = side_loss("B", real_B, fake_B, cycled_B, "G1", d_params["D1"], "D1")
+        loss_G2 = side_loss("A", real_A, fake_A, cycled_A, "G2", d_params["D2"], "D2")
+        metrics["Total_Loss/G1"] = loss_G1
+        metrics["Total_Loss/G2"] = loss_G2
+        aux = {
+            "fake_B": fake_B, "fake_A": fake_A,
+            "cycled_A": cycled_A, "cycled_B": cycled_B, "metrics": metrics,
+        }
+        return loss_G1 + loss_G2, aux
+
+    def _d_losses(self, d_params, real_A, real_B, fake_A, fake_B, cycled_A, cycled_B):
+        metrics = {}
+
+        def one(side, dnet, data):
+            loss = 0.0
+            for kind, lam in self.d_lambda_dict[side].items():
+                if lam == 0:
+                    continue
+                pred = self._d_apply(
+                    dnet, d_params[dnet], jax.lax.stop_gradient(data[kind])
+                )
+                term = gan_loss(pred, kind == "real", self.gan_mode)
+                metrics[f"Discriminator_{side}/{kind}"] = term
+                loss = loss + lam * term
+            return loss
+
+        loss_D1 = one("B", "D1", {"real": real_B, "fake": fake_B, "cycled": cycled_B})
+        loss_D2 = one("A", "D2", {"real": real_A, "fake": fake_A, "cycled": cycled_A})
+        metrics["Total_Loss/D1"] = loss_D1
+        metrics["Total_Loss/D2"] = loss_D2
+        return loss_D1 + loss_D2, metrics
+
+    def make_train_step(self):
+        split = self.split
+        d_tx = self.d_tx
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_step(state: TrainState, key):
+            batch = self.make_batch(key)
+            real_A, real_B = batch["real_A"], batch["real_B"]
+            # crop reals to generator-output size for the loss
+            # (reference LinkCycleLoss.forward crop, done inside _g_losses)
+            params = state.params
+            g_params = {"G1": params["G1"], "G2": params["G2"]}
+            d_params = {"D1": params["D1"], "D2": params["D2"]}
+
+            # ---- G phase -------------------------------------------------
+            (g_total, aux), g_grads = jax.value_and_grad(
+                self._g_losses, has_aux=True
+            )(g_params, d_params, real_A, real_B)
+
+            opt_state = dict(state.opt_state)
+            if split:
+                up1, og1 = self.g1_tx.update(
+                    g_grads["G1"], opt_state["G1"], g_params["G1"]
+                )
+                up2, og2 = self.g2_tx.update(
+                    g_grads["G2"], opt_state["G2"], g_params["G2"]
+                )
+                new_G1 = optax.apply_updates(g_params["G1"], up1)
+                new_G2 = optax.apply_updates(g_params["G2"], up2)
+                opt_state["G1"], opt_state["G2"] = og1, og2
+            else:
+                upd, og = self.g_tx.update(g_grads, opt_state["G"], g_params)
+                new_g = optax.apply_updates(g_params, upd)
+                new_G1, new_G2 = new_g["G1"], new_g["G2"]
+                opt_state["G"] = og
+
+            # ---- D phase (pre-update fakes, reference detach semantics) ----
+            real_Ac = center_crop(real_A, aux["fake_A"].shape[1:-1])
+            real_Bc = center_crop(real_B, aux["fake_B"].shape[1:-1])
+            (d_total, d_metrics), d_grads = jax.value_and_grad(
+                self._d_losses, has_aux=True
+            )(
+                d_params, real_Ac, real_Bc,
+                aux["fake_A"], aux["fake_B"], aux["cycled_A"], aux["cycled_B"],
+            )
+            upd, od = d_tx.update(d_grads, opt_state["D"], d_params)
+            new_d = optax.apply_updates(d_params, upd)
+            opt_state["D"] = od
+
+            metrics = {**aux["metrics"], **d_metrics}
+            metrics["loss"] = g_total + d_total
+            new_params = {
+                "G1": new_G1, "G2": new_G2, "D1": new_d["D1"], "D2": new_d["D2"]
+            }
+            return (
+                state.replace(
+                    step=state.step + 1, params=new_params, opt_state=opt_state
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    def make_snapshot_fn(self):
+        @jax.jit
+        def snapshot_fn(state, key):
+            batch = self.make_batch(key)
+            g_params = {"G1": state.params["G1"], "G2": state.params["G2"]}
+            fake_B, fake_A, cycled_A, cycled_B = self._forward_cycle(
+                g_params, batch["real_A"], batch["real_B"], self.split, train=False
+            )
+            return {
+                "real_A": batch["real_A"], "real_B": batch["real_B"],
+                "fake_A": fake_A, "fake_B": fake_B,
+                "cycled_A": cycled_A, "cycled_B": cycled_B,
+            }
+
+        return snapshot_fn
+
+    def setup_trainer(self):
+        os.makedirs(self.model_path, exist_ok=True)
+        self.trainer = Trainer(
+            step_fn=self.make_train_step(),
+            state=self.state,
+            num_epochs=int(self.num_epochs),
+            log_every=int(self.log_every),
+            save_every=int(self.save_every),
+            snapshot_every=self.snapshot_every,
+            checkpoint_basename=self.checkpoint_basename,
+            log_dir=self.tensorboard_path,
+            snapshot_dir=getattr(self, "snapshot_dir", None) or "./snapshots",
+            snapshot_fn=self.make_snapshot_fn(),
+            voxel_size=tuple(self.common_voxel_size)[-self.ndims:],
+            seed=int(self.random_seed),
+        )
+
+    def make_request(self, mode: str = "train"):
+        return {
+            "real": (self.side_length,) * self.ndims,
+            "fake": (self.gnet_out_length,) * self.ndims,
+            "cycled": (self.cycle_length,) * self.ndims,
+        }
+
+    # -- prediction -------------------------------------------------------------
+    def predict_setup(self, checkpoint=None, net_name="netG1"):
+        """Pick a generator for blockwise rendering (reference worker
+        ``worker.py:48-66`` netG subnet selection)."""
+        self.setup_networks()
+        if checkpoint is not None and not os.path.exists(str(checkpoint)):
+            checkpoint = f"{self.checkpoint_basename}_checkpoint_{checkpoint}"
+        if checkpoint is None:
+            checkpoint, _ = latest_checkpoint(self.checkpoint_basename)
+        if checkpoint is None:
+            raise FileNotFoundError(
+                f"no checkpoint at {self.checkpoint_basename}_checkpoint_*"
+            )
+        params = load_params_only(str(checkpoint), self.params)
+        which = "G1" if (net_name or "netG1").lower().endswith("1") else "G2"
+        net = self.netG1 if which == "G1" else self.netG2
+        p = params[which]
+
+        @jax.jit
+        def fwd(x):
+            y = net.apply({"params": p}, x, train=False)
+            # rescale [-1,1] -> [0,1] for output (reference worker rescale)
+            return {"fake": jnp.clip(y * 0.5 + 0.5, 0.0, 1.0)}
+
+        return fwd, [("fake", self.gnet_kwargs.get("output_nc", 1))]
+
+
+def _clean_optim(kwargs: dict) -> dict:
+    kwargs = dict(kwargs or {})
+    kwargs.pop("weight_decay", None)  # adam+wd=0 default; use adamw if needed
+    return kwargs

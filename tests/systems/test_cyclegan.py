@@ -1,0 +1,177 @@
+"""CycleGAN system smoke tests on synthetic 2D data (CPU) — the driver's
+'tiny 2D generator/discriminator smoke train on synthetic data' config
+(BASELINE.json configs[0]), which the reference could not run outside its
+cluster (SURVEY §4)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raygun_tpu.io import make_cyclegan_dataset
+from raygun_tpu.systems import load_system
+from raygun_tpu.systems.cyclegan import gan_loss, smooth_l1
+from raygun_tpu.train.state import latest_checkpoint
+
+
+@pytest.fixture(scope="module", params=["link", "split"])
+def tiny_config(tmp_path_factory, request):
+    loss_type = request.param
+    root = tmp_path_factory.mktemp(f"cgan_{loss_type}")
+    src = make_cyclegan_dataset(
+        str(root / "data.zarr"), shape=(128, 128),
+        voxel_size_a=(45, 45), voxel_size_b=(90, 90),
+    )  # A resamples 128^2@45nm -> 64^2@90nm (exercises the resample path)
+    config = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": src["path"], "name": src["A"]},
+            "B": {"path": src["path"], "name": src["B"]},
+        },
+        "common_voxel_size": [90, 90],
+        "ndims": 2,
+        "side_length": 32,
+        "batch_size": 2,
+        "loss_type": loss_type,
+        "gnet_type": "resnet",
+        "gnet_kwargs": {
+            "input_nc": 1, "output_nc": 1, "ngf": 4, "n_blocks": 1,
+            "n_downsampling": 1, "padding_type": "same",
+            "final_activation": "tanh",
+        },
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "d_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "model_path": str(root / "models") + "/",
+        "num_epochs": 4,
+        "log_every": 2,
+        "save_every": 4,
+        "tensorboard_path": str(root / "tensorboard"),
+    }
+    cfg_path = root / "train_conf.json"
+    cfg_path.write_text(json.dumps(config))
+    return str(cfg_path), config, loss_type
+
+
+class TestLossPrimitives:
+    def test_lsgan(self):
+        pred = jnp.zeros((2, 4, 4, 1))
+        assert float(gan_loss(pred, True, "lsgan")) == pytest.approx(1.0)
+        assert float(gan_loss(pred, False, "lsgan")) == pytest.approx(0.0)
+
+    def test_wgangp(self):
+        pred = jnp.full((2, 4, 4, 1), 3.0)
+        assert float(gan_loss(pred, True, "wgangp")) == pytest.approx(-3.0)
+        assert float(gan_loss(pred, False, "wgangp")) == pytest.approx(3.0)
+
+    def test_smooth_l1(self):
+        a = jnp.zeros((4,))
+        b = jnp.asarray([0.5, 0.5, 2.0, 2.0])
+        # |d|<1: 0.5 d^2 = 0.125 ; |d|>1: |d|-0.5 = 1.5
+        assert float(smooth_l1(a, b)) == pytest.approx((0.125 * 2 + 1.5 * 2) / 4)
+
+
+def test_build_and_batch(tiny_config):
+    cfg_path, config, loss_type = tiny_config
+    system = load_system(cfg_path)
+    system.build_system()
+    assert set(system.params) == {"G1", "G2", "D1", "D2"}
+    batch = jax.jit(system.make_batch)(jax.random.PRNGKey(0))
+    assert batch["real_A"].shape == (2, 32, 32, 1)
+    assert batch["real_B"].shape == (2, 32, 32, 1)
+    assert float(jnp.min(batch["real_A"])) >= -1.0
+    assert float(jnp.max(batch["real_A"])) <= 1.0
+
+
+def test_gan_step_updates_and_gradient_flow(tiny_config):
+    cfg_path, config, loss_type = tiny_config
+    system = load_system(cfg_path)
+    system.build_system()
+    step_fn = system.trainer.step_fn
+    state = jax.tree.map(jnp.copy, system.trainer.state)
+    p0 = jax.device_get(state.params)
+    state, metrics = step_fn(state, jax.random.PRNGKey(0))
+    p1 = jax.device_get(state.params)
+    # every network received an update
+    for net in ("G1", "G2", "D1", "D2"):
+        diff = sum(
+            float(np.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(p0[net]), jax.tree.leaves(p1[net]))
+        )
+        assert diff > 0, f"{net} params did not update"
+    # loss metrics present with reference naming
+    assert "Total_Loss/G1" in metrics and "Discriminator_B/real" in metrics
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_short_train_and_checkpoint(tiny_config):
+    cfg_path, config, loss_type = tiny_config
+    system = load_system(cfg_path)
+    system.build_system()
+    system.trainer.train()
+    ckpt, it = latest_checkpoint(system.checkpoint_basename)
+    assert it == 4
+
+    # predict from checkpoint with both generators
+    fwd, spec = system.predict_setup(checkpoint=4, net_name="netG2")
+    x = jnp.zeros((1, 32, 32, 1))
+    out = fwd(x)
+    assert out["fake"].shape == (1, 32, 32, 1)
+    assert 0.0 <= float(jnp.min(out["fake"])) and float(jnp.max(out["fake"])) <= 1.0
+
+
+def test_link_vs_split_gradient_semantics():
+    """link: cycle loss reaches the first generator; split: it does not
+    (the reference's detach placement, CycleModel.py:53-57)."""
+    import flax.linen as nn
+    from raygun_tpu.systems.cyclegan import CycleGAN
+
+    class Dummy(CycleGAN):
+        def __init__(self, split):
+            # bypass BaseSystem config machinery
+            self.split = split
+            self.ndims = 2
+            g = nn.Dense(1)
+            self.netG1 = self.netG2 = _Wrap(g)
+
+    class _Wrap(nn.Module):
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            return self.inner(x)
+
+    x = jnp.ones((1, 2, 2, 1))
+    g = _Wrap(nn.Dense(1))
+    params = g.init(jax.random.PRNGKey(0), x)["params"]
+
+    def cycle_loss(p, split):
+        obj = Dummy.__new__(Dummy)
+        obj.split = split
+        obj.ndims = 2
+        obj.netG1 = obj.netG2 = g
+        fake_B, fake_A, cycled_A, cycled_B = obj._forward_cycle(
+            {"G1": p, "G2": jax.tree.map(jnp.copy, p)}, x, x, split
+        )
+        return jnp.mean(cycled_B**2)  # loss on cycled only
+
+    # cycled_B = G1(stop(fake_A)) in split; fake_A uses G2 — G1 grad exists
+    # in both; but grads w.r.t. G2 (through fake_A) exist only in link mode
+    def loss_wrt_g2(p2, split):
+        obj = Dummy.__new__(Dummy)
+        obj.split = split
+        obj.ndims = 2
+        obj.netG1 = obj.netG2 = g
+        _, _, _, cycled_B = obj._forward_cycle(
+            {"G1": params, "G2": p2}, x, x, split
+        )
+        return jnp.mean(cycled_B**2)
+
+    g_link = jax.grad(loss_wrt_g2)(params, False)
+    g_split = jax.grad(loss_wrt_g2)(params, True)
+    assert any(float(np.abs(l).sum()) > 0 for l in jax.tree.leaves(g_link))
+    assert all(float(np.abs(l).sum()) == 0 for l in jax.tree.leaves(g_split))
