@@ -12,3 +12,8 @@ from .inspect_logs import (
     score_log, pick_best, inspect_logs,
 )
 from ..native import rand_voi
+from .figures import batch_show, label2rgb, qualitative_figs
+from .inspect_tests import (
+    collect_metric_distributions, significance_matrices, inspect_tests,
+)
+from .render_best import render_best

@@ -7,3 +7,4 @@ from .unet import ConvPass, ConvDownsample, MaxDownsample, Upsample, UNet, Resid
 from .resnet import ResNet, ResnetBlock, resnet_valid_output_shape
 from .discriminator import NLayerDiscriminator, NLayerDiscriminator2D, NLayerDiscriminator3D
 from .utils import init_weights, param_count, probe_output_shape, valid_context
+from .pallas import Downsample, blur_pool_xla, blur_pool_2d_pallas

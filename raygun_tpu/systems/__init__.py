@@ -1,7 +1,7 @@
 """Experiment systems (parity: reference src/raygun/torch/systems/)."""
 
 from .base import BaseSystem
-from .mtlsd import MTLSD, MTLSDModel, weighted_mse, get_optimizer
+from .mtlsd import MTLSD, MTLSDModel, weighted_mse, get_optimizer, make_lr_schedule
 
 _REGISTRY = {"MTLSD": MTLSD}
 

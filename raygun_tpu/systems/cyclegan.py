@@ -163,12 +163,17 @@ class CycleGAN(BaseSystem):
 
     # -- optimization ---------------------------------------------------------
     def setup_optimization(self):
-        g_tx = get_optimizer(self.g_optim_type, _clean_optim(self.g_optim_kwargs))
-        d_tx = get_optimizer(self.d_optim_type, _clean_optim(self.d_optim_kwargs))
+        sched, sched_kw = self.scheduler, self.scheduler_kwargs
+        g_tx = get_optimizer(
+            self.g_optim_type, _clean_optim(self.g_optim_kwargs), sched, sched_kw
+        )
+        d_tx = get_optimizer(
+            self.d_optim_type, _clean_optim(self.d_optim_kwargs), sched, sched_kw
+        )
         self.d_tx = d_tx
         if self.split:
             self.g1_tx, self.g2_tx = g_tx, get_optimizer(
-                self.g_optim_type, _clean_optim(self.g_optim_kwargs)
+                self.g_optim_type, _clean_optim(self.g_optim_kwargs), sched, sched_kw
             )
             opt_state = {
                 "G1": self.g1_tx.init(self.params["G1"]),

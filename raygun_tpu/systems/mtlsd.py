@@ -80,9 +80,42 @@ def weighted_mse(pred, target, weights):
     return jnp.where(nz > 0, jnp.sum(scaled) / jnp.maximum(nz, 1), jnp.mean(scaled))
 
 
-def get_optimizer(optim_type: str, optim_kwargs: dict) -> optax.GradientTransformation:
+def make_lr_schedule(base_lr: float, scheduler: Optional[str] = None,
+                     scheduler_kwargs: Optional[dict] = None):
+    """LR schedules (parity: reference ``BaseDummyOptimizer.py:22-47`` —
+    LambdaLR keeps lr constant for n_epochs then decays linearly to zero
+    over n_epochs_decay; StepLR / CosineAnnealingLR as in torch)."""
+    if scheduler is None:
+        return base_lr
+    kw = dict(scheduler_kwargs or {})
+    if scheduler == "LambdaLR":
+        epoch_count = float(kw.get("epoch_count", 0))
+        n_epochs = float(kw.get("n_epochs", 0))
+        n_decay = float(kw.get("n_epochs_decay", 1))
+
+        def sched(step):
+            lr_l = 1.0 - jnp.maximum(0.0, step + epoch_count - n_epochs) / (n_decay + 1.0)
+            return base_lr * jnp.clip(lr_l, 0.0, 1.0)
+
+        return sched
+    if scheduler == "StepLR":
+        step_size = float(kw.get("step_size", 1000))
+        gamma = float(kw.get("gamma", 0.1))
+        return lambda step: base_lr * gamma ** jnp.floor(step / step_size)
+    if scheduler == "CosineAnnealingLR":
+        t_max = float(kw.get("T_max", 10000))
+        eta_min = float(kw.get("eta_min", 0.0))
+        return lambda step: eta_min + 0.5 * (base_lr - eta_min) * (
+            1 + jnp.cos(jnp.pi * jnp.minimum(step, t_max) / t_max)
+        )
+    raise ValueError(f"unknown scheduler {scheduler!r}")
+
+
+def get_optimizer(optim_type: str, optim_kwargs: dict,
+                  scheduler: Optional[str] = None,
+                  scheduler_kwargs: Optional[dict] = None) -> optax.GradientTransformation:
     """Resolve an optax optimizer by (lowercased torch) name (parity:
-    reference ``optimizers/utils.py:4-9``)."""
+    reference ``optimizers/utils.py:4-9``), with optional LR schedule."""
     name = optim_type.lower()
     kwargs = dict(optim_kwargs)
     if "lr" in kwargs:
@@ -90,6 +123,10 @@ def get_optimizer(optim_type: str, optim_kwargs: dict) -> optax.GradientTransfor
     if "betas" in kwargs:
         b1, b2 = kwargs.pop("betas")
         kwargs["b1"], kwargs["b2"] = b1, b2
+    if scheduler is not None:
+        kwargs["learning_rate"] = make_lr_schedule(
+            float(kwargs.get("learning_rate", 1e-3)), scheduler, scheduler_kwargs
+        )
     table = {
         "adam": optax.adam,
         "adamw": optax.adamw,
