@@ -20,6 +20,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -137,8 +138,45 @@ def pad_spatial(x: Array, pad: Sequence[Tuple[int, int]], mode: str = "reflect")
     return jnp.pad(x, full, mode=_PAD_MODES[mode])
 
 
+# tap-sum GEMM routing thresholds. Isolated measurement on TPU v5e: ~93 vs
+# ~61 TFLOP/s for the MTLSD bottleneck 2592->2592 3^3 conv — but embedded in
+# the full U-Net the per-tap shifted copies break XLA's surrounding fusion
+# and the net effect is NEGATIVE (140 vs 123 ms/block). Opt-in only
+# (ConvNd(use_tap_sum=True)); revisit with a Pallas fused-tap kernel that
+# streams taps from VMEM without materializing copies.
+TAP_SUM_MIN_CHANNELS = 256
+TAP_SUM_MAX_SPATIAL = 32768  # output voxels (~32^3)
+
+
+def tap_sum_conv(x: Array, kernel: Array, use_tap_sum: bool = True) -> Array:
+    """VALID stride-1 conv as a sum of per-tap GEMMs:
+    ``y = Σ_t shift_t(x) @ W[t]`` — each tap is one MXU matmul over
+    (spatial_positions, Cin) x (Cin, Cout)."""
+    import itertools as it
+
+    nd = kernel.ndim - 2
+    ksize = kernel.shape[:nd]
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    batch = x.shape[0]
+    out_spatial = tuple(x.shape[1 + d] - ksize[d] + 1 for d in range(nd))
+    m = batch * int(np.prod(out_spatial))
+    acc = None
+    for tap in it.product(*[range(k) for k in ksize]):
+        sl = (slice(None),) + tuple(
+            slice(t, t + s) for t, s in zip(tap, out_spatial)
+        ) + (slice(None),)
+        patch = x[sl].reshape(m, cin)
+        term = jnp.dot(patch, kernel[tap], preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc.reshape((batch,) + out_spatial + (cout,)).astype(x.dtype)
+
+
 class ConvNd(nn.Module):
-    """N-D convolution with torch-parity padding semantics (see module doc)."""
+    """N-D convolution with torch-parity padding semantics (see module doc).
+
+    High-channel VALID stride-1 convs route through :func:`tap_sum_conv`
+    (per-tap MXU matmuls) instead of ``lax.conv`` — significantly faster on
+    TPU for the U-Net bottleneck levels."""
 
     features: int
     kernel_size: Sequence[int]
@@ -149,6 +187,7 @@ class ConvNd(nn.Module):
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
     dtype: Any = None
+    use_tap_sum: bool = False  # opt-in; see TAP_SUM_* note above
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -170,6 +209,32 @@ class ConvNd(nn.Module):
                 x = pad_spatial(x, pads, self.padding_mode)
         elif self.padding.lower() != "valid":
             raise ValueError(f"unknown padding {self.padding!r}")
+
+        cin = x.shape[-1]
+        out_spatial = int(
+            np.prod([x.shape[1 + d] - self.kernel_size[d] + 1 for d in range(nd)])
+        ) if pad_arg == "VALID" else 0
+        use_tap_sum = (
+            self.use_tap_sum
+            and pad_arg == "VALID"
+            and all(s == 1 for s in strides)
+            and self.feature_group_count == 1
+            and min(cin, self.features) >= TAP_SUM_MIN_CHANNELS
+            and out_spatial <= TAP_SUM_MAX_SPATIAL
+            and all(k > 1 for k in self.kernel_size)
+        )
+        if use_tap_sum:
+            kernel = self.param(
+                "kernel",
+                self.kernel_init,
+                tuple(self.kernel_size) + (cin, self.features),
+            )
+            y = tap_sum_conv(x, kernel.astype(x.dtype))
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                y = y + bias.astype(y.dtype)
+            return y
+
         return nn.Conv(
             features=self.features,
             kernel_size=tuple(self.kernel_size),
