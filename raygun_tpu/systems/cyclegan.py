@@ -95,7 +95,7 @@ class CycleGAN(BaseSystem):
             self.common_voxel_size = Coordinate(self.common_voxel_size)
         if self.ndims is None:
             self.ndims = int(
-                np.sum(np.array(self.common_voxel_size) == np.min(self.common_voxel_size))
+                np.sum(np.array(self.common_voxel_size) == np.min(np.array(self.common_voxel_size)))
             )
         self.loss_kwargs = dict(self.loss_kwargs or {})
         self.g_lambda_dict = self.loss_kwargs.get("g_lambda_dict", DEFAULT_G_LAMBDAS)
@@ -383,14 +383,21 @@ class CycleGAN(BaseSystem):
             # ---- D phase (pre-update fakes, reference detach semantics) ----
             real_Ac = center_crop(real_A, aux["fake_A"].shape[1:-1])
             real_Bc = center_crop(real_B, aux["fake_B"].shape[1:-1])
-            (d_total, d_metrics), d_grads = jax.value_and_grad(
-                self._d_losses, has_aux=True
-            )(
-                d_params, real_Ac, real_Bc,
-                aux["fake_A"], aux["fake_B"], aux["cycled_A"], aux["cycled_B"],
-            )
-            upd, od = d_tx.update(d_grads, opt_state["D"], d_params)
-            new_d = optax.apply_updates(d_params, upd)
+            # wgangp trains D n_loop times per G step with weight clamping
+            # (reference LinkCycleLoss.backward_Ds:66-76 + clamp_weights)
+            d_loops = 5 if self.gan_mode == "wgangp" else 1
+            new_d, od = d_params, opt_state["D"]
+            for _ in range(d_loops):
+                (d_total, d_metrics), d_grads = jax.value_and_grad(
+                    self._d_losses, has_aux=True
+                )(
+                    new_d, real_Ac, real_Bc,
+                    aux["fake_A"], aux["fake_B"], aux["cycled_A"], aux["cycled_B"],
+                )
+                upd, od = d_tx.update(d_grads, od, new_d)
+                new_d = optax.apply_updates(new_d, upd)
+                if self.gan_mode == "wgangp":
+                    new_d = jax.tree.map(lambda p: jnp.clip(p, -0.01, 0.01), new_d)
             opt_state["D"] = od
 
             metrics = {**aux["metrics"], **d_metrics}

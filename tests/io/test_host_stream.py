@@ -1,0 +1,113 @@
+"""HostStreamSampler (too-big-for-HBM fallback) + blockwise fault handling."""
+
+import numpy as np
+import pytest
+
+from raygun_tpu.core import Coordinate, Roi
+from raygun_tpu.io import open_ds, prepare_ds
+from raygun_tpu.io.sampler import HostStreamSampler
+
+
+def test_host_stream_sampler(tmp_path):
+    path = str(tmp_path / "v.zarr")
+    vx = Coordinate(10, 10, 10)
+    roi = Roi((0, 0, 0), (320, 320, 320))
+    raw = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    data = np.random.default_rng(0).random((32, 32, 32)).astype(np.float32)
+    raw.write(roi, data)
+    labels = prepare_ds(path, "labels", roi, vx, np.uint64, delete=True)
+    labels.write(roi, (data > 0.5).astype(np.uint64))
+
+    sampler = HostStreamSampler(
+        {"raw": open_ds(path, "raw"), "labels": open_ds(path, "labels")},
+        crop_shape=(8, 8, 8), batch_size=2, prefetch=2, seed=1,
+    )
+    try:
+        batch = sampler.next()
+        assert batch["raw"].shape == (2, 8, 8, 8)
+        assert batch["labels"].shape == (2, 8, 8, 8)
+        # crops are real data from the volume
+        batch2 = sampler.next()
+        assert not np.array_equal(batch["raw"], batch2["raw"])
+    finally:
+        sampler.stop()
+
+
+def test_host_stream_mask_constraint(tmp_path):
+    path = str(tmp_path / "m.zarr")
+    vx = Coordinate(10, 10, 10)
+    roi = Roi((0, 0, 0), (160, 160, 160))
+    raw = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    raw.write(roi, np.random.default_rng(0).random((16, 16, 16)).astype(np.float32))
+    mask = prepare_ds(path, "mask", roi, vx, np.uint8, delete=True)
+    m = np.zeros((16, 16, 16), np.uint8)
+    m[:8] = 1
+    mask.write(roi, m)
+    sampler = HostStreamSampler(
+        {"raw": open_ds(path, "raw"), "mask": open_ds(path, "mask")},
+        crop_shape=(4, 4, 4), batch_size=4, mask_name="mask", min_masked=0.99,
+        prefetch=1, seed=2,
+    )
+    try:
+        batch = sampler.next()
+        assert (batch["mask"] == 1).all()
+    finally:
+        sampler.stop()
+
+
+def test_blockwise_retries(tmp_path):
+    """A flaky block function succeeds within max_retries (daisy's
+    max_retries capability, reference predict.py:31,161)."""
+    import jax.numpy as jnp
+
+    from raygun_tpu.distributed import BlockwiseRunner
+
+    path = str(tmp_path / "r.zarr")
+    vx = Coordinate(10, 10, 10)
+    roi = Roi((0, 0, 0), (160, 160, 160))
+    src = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    src.write(roi, np.ones((16, 16, 16), np.float32))
+    write_roi = roi.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+    dest = prepare_ds(path, "out", write_roi, vx, np.float32, delete=True)
+
+    calls = {"n": 0}
+
+    def flaky_fn(x):
+        calls["n"] += 1
+        if calls["n"] % 3 == 1:  # fail on first attempt of some blocks
+            raise RuntimeError("transient failure")
+        return {"out": x[:, 2:-2, 2:-2, 2:-2, 0]}
+
+    runner = BlockwiseRunner(
+        source=open_ds(path, "raw"),
+        outputs={"out": dest},
+        fn=flaky_fn,
+        input_shape=(8, 8, 8),
+        output_shape=(4, 4, 4),
+        max_retries=2,
+    )
+    stats = runner.run()
+    assert stats["blocks"] == 27
+    assert (open_ds(path, "out").read() == 1).all()
+
+
+def test_blockwise_exhausted_retries_raise(tmp_path):
+    from raygun_tpu.distributed import BlockwiseRunner
+
+    path = str(tmp_path / "f.zarr")
+    vx = Coordinate(10, 10, 10)
+    roi = Roi((0, 0, 0), (160, 160, 160))
+    src = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    src.write(roi, np.ones((16, 16, 16), np.float32))
+    write_roi = roi.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+    dest = prepare_ds(path, "out", write_roi, vx, np.float32, delete=True)
+
+    def always_fails(x):
+        raise RuntimeError("permanent failure")
+
+    runner = BlockwiseRunner(
+        source=open_ds(path, "raw"), outputs={"out": dest}, fn=always_fails,
+        input_shape=(8, 8, 8), output_shape=(4, 4, 4), max_retries=1,
+    )
+    with pytest.raises(RuntimeError, match="permanent"):
+        runner.run()
