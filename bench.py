@@ -123,6 +123,15 @@ def main():
     a100_effective_flops = 156e12 * 0.30
     baseline_voxels_per_sec = a100_effective_flops / reference_flops_per_voxel
 
+    # secondary stat (BASELINE metric names CycleGAN train steps/sec too):
+    # production-ish 2D link-mode GAN step, batch 3 x 256^2, resnet ngf 64
+    try:
+        cgan_sps = _cyclegan_steps_per_sec(jax)
+        print(f"CycleGAN train steps/sec (3x256^2 resnet64 link): {cgan_sps:.2f}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"cyclegan bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -133,6 +142,76 @@ def main():
             }
         )
     )
+
+
+
+
+def _cyclegan_steps_per_sec(jax):
+    import jax.numpy as jnp
+    import optax
+
+    from raygun_tpu.nn import NLayerDiscriminator, ResNet
+    from raygun_tpu.systems.cyclegan import gan_loss, smooth_l1
+
+    side, batch = 256, 3
+    gen = ResNet(ndims=2, input_nc=1, output_nc=1, ngf=64, n_blocks=6,
+                 padding_type="same")
+    disc = NLayerDiscriminator(ndims=2, input_nc=1, ngf=64, n_layers=3,
+                               kw=3, downsampling_kw=2, norm="instance")
+    x = jnp.zeros((batch, side, side, 1), jnp.bfloat16)
+    gp = jax.jit(lambda: gen.init(jax.random.PRNGKey(0), x[:1], train=False))()["params"]
+    dp = jax.jit(lambda: disc.init(jax.random.PRNGKey(1), x[:1], train=False))()["params"]
+    params = {
+        "G1": gp, "G2": jax.tree.map(jnp.copy, gp),
+        "D1": dp, "D2": jax.tree.map(jnp.copy, dp),
+    }
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    g_tx, d_tx = optax.adam(1e-5), optax.adam(1e-5)
+    opt = {"G": g_tx.init({"G1": params["G1"], "G2": params["G2"]}),
+           "D": d_tx.init({"D1": params["D1"], "D2": params["D2"]})}
+
+    def g_loss(gP, dP, a, b):
+        fake_B = gen.apply({"params": gP["G1"]}, a, train=True)
+        fake_A = gen.apply({"params": gP["G2"]}, b, train=True)
+        cyc_A = gen.apply({"params": gP["G2"]}, fake_B, train=True)
+        cyc_B = gen.apply({"params": gP["G1"]}, fake_A, train=True)
+        l = (10 * smooth_l1(b, cyc_B) + 10 * smooth_l1(a, cyc_A)
+             + gan_loss(disc.apply({"params": jax.lax.stop_gradient(dP["D1"])}, fake_B, train=True), True)
+             + gan_loss(disc.apply({"params": jax.lax.stop_gradient(dP["D2"])}, fake_A, train=True), True))
+        return l, (fake_B, fake_A)
+
+    def d_loss(dP, a, b, fake_A, fake_B):
+        return (
+            gan_loss(disc.apply({"params": dP["D1"]}, b, train=True), True)
+            + gan_loss(disc.apply({"params": dP["D1"]}, jax.lax.stop_gradient(fake_B), train=True), False)
+            + gan_loss(disc.apply({"params": dP["D2"]}, a, train=True), True)
+            + gan_loss(disc.apply({"params": dP["D2"]}, jax.lax.stop_gradient(fake_A), train=True), False)
+        )
+
+    @jax.jit
+    def step(params, opt, key):
+        a = jax.random.uniform(key, x.shape, jnp.bfloat16) * 2 - 1
+        b = jax.random.uniform(jax.random.fold_in(key, 1), x.shape, jnp.bfloat16) * 2 - 1
+        gP = {"G1": params["G1"], "G2": params["G2"]}
+        dP = {"D1": params["D1"], "D2": params["D2"]}
+        (gl, (fake_B, fake_A)), g_grads = jax.value_and_grad(g_loss, has_aux=True)(gP, dP, a, b)
+        gupd, gos = g_tx.update(g_grads, opt["G"], gP)
+        gP = optax.apply_updates(gP, gupd)
+        dl, d_grads = jax.value_and_grad(d_loss)(dP, a, b, fake_A, fake_B)
+        dupd, dos = d_tx.update(d_grads, opt["D"], dP)
+        dP = optax.apply_updates(dP, dupd)
+        return ({**gP, **dP}, {"G": gos, "D": dos}, gl + dl)
+
+    import time as _t
+
+    params, opt, loss = step(params, opt, jax.random.PRNGKey(2))
+    _ = float(loss)
+    n = 8
+    t0 = _t.perf_counter()
+    for i in range(n):
+        params, opt, loss = step(params, opt, jax.random.PRNGKey(3 + i))
+    _ = float(loss)
+    return n / (_t.perf_counter() - t0)
 
 
 if __name__ == "__main__":

@@ -155,11 +155,15 @@ class CycleGAN(BaseSystem):
 
     def _g_apply(self, which: str, params, x, train=True):
         net = self.netG1 if which == "G1" else self.netG2
-        return net.apply({"params": params}, x, train=train)
+        return net.apply(
+            {"params": params}, x, train=train and getattr(self, "_norm_train", True)
+        )
 
     def _d_apply(self, which: str, params, x, train=True):
         net = self.netD1 if which == "D1" else self.netD2
-        return net.apply({"params": params}, x, train=train)
+        return net.apply(
+            {"params": params}, x, train=train and getattr(self, "_norm_train", True)
+        )
 
     # -- optimization ---------------------------------------------------------
     def setup_optimization(self):
@@ -344,12 +348,17 @@ class CycleGAN(BaseSystem):
         metrics["Total_Loss/D2"] = loss_D2
         return loss_D1 + loss_D2, metrics
 
-    def make_train_step(self):
+    def make_train_step(self, norm_train: bool = True):
+        """norm_train=False freezes norm statistics (the reference's
+        ``freeze_norms_at`` / ``fix_norms`` mode, FreezableModel.py:30-32):
+        a second compiled step variant the Trainer switches to."""
         split = self.split
         d_tx = self.d_tx
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
+            # set at trace time so each compiled variant bakes its own mode
+            self._norm_train = norm_train
             batch = self.make_batch(key)
             real_A, real_B = batch["real_A"], batch["real_B"]
             # crop reals to generator-output size for the loss
@@ -432,9 +441,13 @@ class CycleGAN(BaseSystem):
 
     def setup_trainer(self):
         os.makedirs(self.model_path, exist_ok=True)
+        phases = None
+        if self.freeze_norms_at is not None:
+            phases = {int(self.freeze_norms_at): self.make_train_step(norm_train=False)}
         self.trainer = Trainer(
             step_fn=self.make_train_step(),
             state=self.state,
+            step_fn_phases=phases,
             num_epochs=int(self.num_epochs),
             log_every=int(self.log_every),
             save_every=int(self.save_every),

@@ -71,6 +71,7 @@ class Trainer:
         self,
         step_fn: Callable,
         state: Any,
+        step_fn_phases: Optional[Dict[int, Callable]] = None,
         num_epochs: int = 1000,
         log_every: int = 20,
         save_every: int = 2000,
@@ -84,6 +85,9 @@ class Trainer:
         log_fn: Optional[Callable[[Any, Any, int], None]] = None,
     ):
         self.step_fn = step_fn
+        # {start_step: fn} phase switches (e.g. freeze_norms_at — reference
+        # FreezableModel.update_status switches norm modes mid-training)
+        self.step_fn_phases = dict(sorted((step_fn_phases or {}).items()))
         self.state = state
         self.num_epochs = num_epochs
         self.log_every = max(1, log_every)
@@ -145,10 +149,14 @@ class Trainer:
         iters = range(it0, self.num_epochs)
         bar = trange(it0, self.num_epochs, desc="train") if trange else iters
         last_metrics = None
+        step_fn = self.step_fn
         for i in bar:
+            for boundary, fn in self.step_fn_phases.items():
+                if i >= boundary:
+                    step_fn = fn
             key = jax.random.fold_in(self.base_key, i)
             t0 = time.perf_counter()
-            self.state, metrics = self.step_fn(self.state, key)
+            self.state, metrics = step_fn(self.state, key)
             step = i + 1
             if step % self.log_every == 0 or step == self.num_epochs:
                 metrics = jax.device_get(metrics)  # sync point
