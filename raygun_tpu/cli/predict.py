@@ -150,6 +150,7 @@ def predict(render_config_path: str) -> List[str]:
         normalize_fn=normalize_fn,
         process_index=jax.process_index(),
         num_processes=jax.process_count(),
+        device_batch=int(render_config["device_batch"]),
     )
     stats = runner.run()
     print(

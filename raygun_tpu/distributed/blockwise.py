@@ -59,6 +59,7 @@ class BlockwiseRunner:
         normalize_fn: Optional[Callable] = None,
         process_index: int = 0,
         num_processes: int = 1,
+        device_batch: int = 1,
     ):
         self.source = source
         self.outputs = outputs
@@ -77,6 +78,7 @@ class BlockwiseRunner:
         self.blocks = blocks[process_index::num_processes]
         self.max_retries = max_retries
         self.normalize_fn = normalize_fn
+        self.device_batch = max(1, int(device_batch))
         self.stats = {"blocks": 0, "read_s": 0.0, "compute_s": 0.0, "write_s": 0.0}
 
     def _prep(self, data: np.ndarray) -> jnp.ndarray:
@@ -105,33 +107,44 @@ class BlockwiseRunner:
 
     def run(self, progress: bool = True) -> dict:
         pending_writes: List = []
-        read_future = None
-        read_block = None
 
-        def start_read(i):
-            # read only the (possibly clipped) block's real region; the input
-            # is padded back to the static input_shape at the high side in
+        def start_reads(g):
+            # read only each (possibly clipped) block's real region; inputs
+            # are padded back to the static input_shape at the high side in
             # _prep, keeping one compiled forward for every block.
-            write, read = self.blocks[i]
-            nominal_write = Roi(write.offset, self.write_size)
-            return self.source.read_async(read), (write, nominal_write)
+            futures = []
+            for write, read in self.blocks[g: g + self.device_batch]:
+                nominal_write = Roi(write.offset, self.write_size)
+                futures.append(
+                    (self.source.read_async(read), write, nominal_write)
+                )
+            return futures
 
         n = len(self.blocks)
         if n == 0:
             return self.stats
-        read_future, read_block = start_read(0)
-        for i in range(n):
+        db = self.device_batch
+        group_futures = start_reads(0)
+        for g in range(0, n, db):
             t0 = time.perf_counter()
-            data = np.asarray(read_future.result())
-            write, nominal_write = read_block
+            group = [
+                (np.asarray(fut.result()), write, nominal)
+                for fut, write, nominal in group_futures
+            ]
             self.stats["read_s"] += time.perf_counter() - t0
-            if i + 1 < n:
-                read_future, read_block = start_read(i + 1)  # prefetch next
+            if g + db < n:
+                group_futures = start_reads(g + db)  # prefetch next group
 
+            # stack the group into one device batch (pad the tail group by
+            # repeating the last block; extra outputs are discarded)
             t0 = time.perf_counter()
+            prepped = [self._prep(data)[0] for data, _, _ in group]
+            while len(prepped) < db and db > 1:
+                prepped.append(prepped[-1])
+            x = jnp.stack(prepped) if db > 1 else prepped[0][None]
             for attempt in range(self.max_retries + 1):
                 try:
-                    outs = self.fn(self._prep(data))
+                    outs = self.fn(x)
                     outs = {k: np.asarray(v) for k, v in outs.items()}
                     break
                 except Exception:
@@ -140,23 +153,24 @@ class BlockwiseRunner:
             self.stats["compute_s"] += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            for name, arr in outs.items():
-                if name not in self.outputs:
-                    continue
-                vol = self.outputs[name]
-                a = arr[0]  # drop batch
-                has_channels = a.ndim == len(self.output_shape) + 1
-                a = self._crop_to_write(a, write, nominal_write)
-                if has_channels:
-                    a = np.moveaxis(a, -1, 0)  # channels-first on disk
-                if vol.dtype != a.dtype:
-                    a = _rescale_to_dtype(a, vol.dtype)
-                pending_writes.append(vol.write_async(write, a))
+            for b, (_, write, nominal_write) in enumerate(group):
+                for name, arr in outs.items():
+                    if name not in self.outputs:
+                        continue
+                    vol = self.outputs[name]
+                    a = arr[b]
+                    has_channels = a.ndim == len(self.output_shape) + 1
+                    a = self._crop_to_write(a, write, nominal_write)
+                    if has_channels:
+                        a = np.moveaxis(a, -1, 0)  # channels-first on disk
+                    if vol.dtype != a.dtype:
+                        a = _rescale_to_dtype(a, vol.dtype)
+                    pending_writes.append(vol.write_async(write, a))
+                self.stats["blocks"] += 1
             # bound the write queue
             while len(pending_writes) > 8:
                 pending_writes.pop(0).result()
             self.stats["write_s"] += time.perf_counter() - t0
-            self.stats["blocks"] += 1
         for w in pending_writes:
             w.result()
         return self.stats

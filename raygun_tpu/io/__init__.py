@@ -11,4 +11,4 @@ from .augment import (
     normalize, intensity_scale_shift, intensity_augment, noise_augment,
     simple_augment, elastic_augment, elastic_margin, elastic_coordinates, warp,
 )
-from .sampler import DeviceVolumeSampler, HostStreamSampler, valid_origins
+from .sampler import DeviceVolumeSampler, MultiSourceSampler, HostStreamSampler, valid_origins

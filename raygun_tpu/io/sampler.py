@@ -133,6 +133,84 @@ class DeviceVolumeSampler:
         return jax.vmap(self.sample)(keys)
 
 
+class MultiSourceSampler:
+    """Device-resident sampling across SEVERAL source volumes (the
+    reference's multi-source MergeProvider + RandomLocation capability,
+    reference ``MTLSDDataPipe.py:141-165``): arrays are stacked on a leading
+    source axis (ragged shapes are zero-padded to the max extent, with each
+    source's origin table restricted to its true extent), and each sample
+    first draws a (source, origin) row.
+    """
+
+    def __init__(
+        self,
+        sources: Sequence[Dict[str, np.ndarray]],
+        crop_shape: Sequence[int],
+        mask_name: Optional[str] = None,
+        min_masked: float = 0.0,
+        device=None,
+    ):
+        assert len(sources) >= 1
+        self.crop_shape = tuple(int(c) for c in crop_shape)
+        nd = len(self.crop_shape)
+        self.nd = nd
+        keys = list(sources[0].keys())
+        max_spatial = tuple(
+            max(src[keys[0]].shape[d] for src in sources) for d in range(nd)
+        )
+
+        stacked: Dict[str, np.ndarray] = {}
+        for k in keys:
+            arrs = []
+            for src in sources:
+                a = src[k]
+                pad = [(0, m - a.shape[d]) for d, m in enumerate(max_spatial)]
+                pad += [(0, 0)] * (a.ndim - nd)
+                arrs.append(np.pad(a, pad))
+            stacked[k] = np.stack(arrs)
+
+        rows = []
+        for s, src in enumerate(sources):
+            if mask_name is not None:
+                mask = np.asarray(src[mask_name]) > 0
+            else:
+                mask = np.ones(src[keys[0]].shape[:nd], bool)
+            try:
+                org = valid_origins(mask, self.crop_shape, min_masked)
+            except ValueError:
+                continue  # this source has no valid crops; others may
+            rows.append(
+                np.concatenate(
+                    [np.full((len(org), 1), s, np.int32), org], axis=1
+                )
+            )
+        if not rows:
+            raise ValueError(
+                f"no source has a crop of shape {self.crop_shape} satisfying "
+                f"min_masked={min_masked}"
+            )
+        origins = np.concatenate(rows)
+        put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
+        self.origins = put(origins)
+        self.data = {k: put(v) for k, v in stacked.items()}
+
+    def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
+        idx = jax.random.randint(key, (), 0, self.origins.shape[0])
+        row = self.origins[idx]
+        out = {}
+        for name, arr in self.data.items():
+            extra = arr.ndim - 1 - self.nd
+            starts = [row[0]] + [row[1 + d] for d in range(self.nd)] + [0] * extra
+            sizes = [1] + list(self.crop_shape) + list(arr.shape[1 + self.nd:])
+            crop = jax.lax.dynamic_slice(arr, starts, sizes)
+            out[name] = crop[0]
+        return out
+
+    def sample_batch(self, key: jax.Array, batch_size: int) -> Dict[str, jax.Array]:
+        keys = jax.random.split(key, batch_size)
+        return jax.vmap(self.sample)(keys)
+
+
 class HostStreamSampler:
     """Prefetching host-side sampler for volumes too large for HBM.
 

@@ -199,17 +199,18 @@ class MTLSD(BaseSystem):
         if isinstance(srcs, dict):
             srcs = [srcs]
         assert len(srcs) >= 1, "MTLSD needs at least one source"
-        # TODO multi-source: stack equal-shape volumes; round 1 uses source 0
-        src = srcs[0]
-        arrays = {}
-        for name in ("raw", "labels", "labels_mask", "cell_mask"):
-            if name in src:
-                vol = open_ds(src["path"], src[name])
-                data = vol.read()
-                if name == "labels":
-                    data = data.astype(np.int32)  # device labels are int32
-                arrays[name] = data
-        self.source_arrays = arrays
+        sources = []
+        for src in srcs:
+            arrays = {}
+            for name in ("raw", "labels", "labels_mask", "cell_mask"):
+                if name in src:
+                    vol = open_ds(src["path"], src[name])
+                    data = vol.read()
+                    if name == "labels":
+                        data = data.astype(np.int32)  # device labels are int32
+                    arrays[name] = data
+            sources.append(arrays)
+        self.source_arrays = sources[0]
 
         # read crop = input_shape + elastic margin
         jitter = (0,) * self.ndims
@@ -223,12 +224,19 @@ class MTLSD(BaseSystem):
         crop_shape = tuple(i + 2 * m for i, m in zip(self.input_shape, self.margin))
 
         rl = self.random_location_kwargs or {}
-        self.sampler = DeviceVolumeSampler(
-            arrays,
-            crop_shape,
-            mask_name="cell_mask" if "cell_mask" in arrays else None,
-            min_masked=rl.get("min_masked", 0.0),
-        )
+        mask_name = "cell_mask" if "cell_mask" in sources[0] else None
+        if len(sources) == 1:
+            self.sampler = DeviceVolumeSampler(
+                sources[0], crop_shape, mask_name=mask_name,
+                min_masked=rl.get("min_masked", 0.0),
+            )
+        else:
+            from ..io.sampler import MultiSourceSampler
+
+            self.sampler = MultiSourceSampler(
+                sources, crop_shape, mask_name=mask_name,
+                min_masked=rl.get("min_masked", 0.0),
+            )
 
     def _make_sample(self, key) -> Dict[str, jax.Array]:
         """One training example: crop → augment → targets. Pure; vmapped over

@@ -92,9 +92,10 @@ def test_blockwise_boundary_clipping(tmp_path, net_and_params):
     fwd = jax.jit(lambda x: {"out": net.apply({"params": params}, x)})
     runner = BlockwiseRunner(
         source=open_ds(path, "raw"), outputs={"out": dest}, fn=fwd,
-        input_shape=(12, 12, 12), output_shape=(8, 8, 8),
+        input_shape=(12, 12, 12), output_shape=(8, 8, 8), device_batch=4,
     )
-    runner.run()
+    stats = runner.run()
+    assert stats["blocks"] == 27
     blockwise = open_ds(path, "out").read()
     full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
     full = np.moveaxis(np.asarray(full[0]), -1, 0)
