@@ -201,3 +201,14 @@ class TestNLayerDiscriminator:
     def test_invalid_ndims(self):
         with pytest.raises(ValueError):
             NLayerDiscriminator(ndims=4, input_nc=1, ngf=32, n_layers=5)
+
+
+class Test4D:
+    def test_convpass_4d(self):
+        """4D convolution capability (reference UNet.py:58 funlib Conv4d;
+        lax.conv_general_dilated is natively N-D here)."""
+        model = ConvPass(output_nc=2, kernel_sizes=[(3, 3, 3, 3)], padding="valid")
+        x = jnp.zeros((1, 6, 6, 6, 6, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(variables, x, train=False)
+        assert y.shape == (1, 4, 4, 4, 4, 2)
