@@ -146,10 +146,13 @@ MUTEX_DEFAULTS = {
 }
 
 
-def mutex_segment(config_path: str):
-    """Parity with reference ``segment.py:139-228``."""
+def mutex_segment(config_path):
+    """Parity with reference ``segment.py:139-228``. Accepts a config path
+    or an inline dict (the validation loop passes sub-dicts)."""
     seg_config = dict(MUTEX_DEFAULTS)
-    seg_config.update(read_config(config_path))
+    seg_config.update(
+        config_path if isinstance(config_path, dict) else read_config(config_path)
+    )
 
     file = seg_config["file"]
     aff_ds = seg_config["aff_ds"]
@@ -192,6 +195,8 @@ def mutex_segment(config_path: str):
 
 
 def _append_ng_script(config_path, file, dest_dataset):
+    if isinstance(config_path, dict):
+        config_path = os.path.join(os.path.dirname(os.path.abspath(file)), "seg")
     try:
         base = os.path.basename(file)
         for suffix in (".n5", ".zarr"):
@@ -210,12 +215,16 @@ def _append_ng_script(config_path, file, dest_dataset):
         logger.warning("Viewing script not written/updated.")
 
 
-def segment(config_path: Optional[str] = None):
+def segment(config_path=None):
     """CLI driver (parity: reference ``segment.py:233-296``): mutex path or
-    watershed+agglomeration threshold sweep writing ``pred_seg_<t>``."""
+    watershed+agglomeration threshold sweep writing ``pred_seg_<t>``.
+    Accepts a config path or an inline dict."""
     if config_path is None:
         config_path = sys.argv[1]
-    config = read_config(config_path)
+    config = (
+        dict(config_path) if isinstance(config_path, dict)
+        else read_config(config_path)
+    )
     if config.get("mutex", False):
         return mutex_segment(config_path)
 

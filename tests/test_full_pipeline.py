@@ -1,0 +1,128 @@
+"""The reference's full capability loop in one test (SURVEY §3.4):
+train MTLSD → blockwise predict → segment → skeleton rasterization →
+rand_voi → {iter: metrics} JSON — all through the public CLI functions.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raygun_tpu.core import Coordinate, Roi
+from raygun_tpu.io import make_segmentation_dataset, open_ds
+from raygun_tpu.systems import load_system
+
+
+def make_skeleton_nml(labels: np.ndarray, path: str, n_trees: int = 6):
+    """Synthetic skeleton GT: one straight in-plane line per label through
+    its centroid (webknossos NML format, positions in xyz voxels)."""
+    lines = ['<?xml version="1.0"?>', "<things>"]
+    ids = [i for i in np.unique(labels) if i != 0][:n_trees]
+    for label in ids:
+        zz, yy, xx = np.where(labels == label)
+        cz, cy = int(np.median(zz)), int(np.median(yy))
+        row = labels[cz, cy, :]
+        xs = np.where(row == label)[0]
+        if len(xs) < 2:
+            continue
+        x0, x1 = int(xs[0]), int(xs[-1])
+        lines.append(f'  <thing id="{int(label)}">')
+        lines.append("    <nodes>")
+        lines.append(f'      <node id="1" x="{x0}" y="{cy}" z="{cz}"/>')
+        lines.append(f'      <node id="2" x="{x1}" y="{cy}" z="{cz}"/>')
+        lines.append("    </nodes>")
+        lines.append('    <edges><edge source="1" target="2"/></edges>')
+        lines.append("  </thing>")
+    lines.append("</things>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+@pytest.mark.slow
+def test_train_predict_segment_validate(tmp_path):
+    shape = (48, 64, 64)
+    src = make_segmentation_dataset(str(tmp_path / "gt.zarr"), shape=shape,
+                                    num_cells=10)
+    labels = open_ds(src["path"], src["labels"]).read()
+
+    # ---- train a few steps ------------------------------------------------
+    train_conf = {
+        "system": "MTLSD",
+        "sources": [src],
+        "ndims": 3, "batch_size": 1,
+        "input_shape": [36, 36, 36], "output_shape": [20, 20, 20],
+        "voxel_size": [30, 30, 30],
+        "neighborhood": [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        "n_diagonals": 0,
+        "model_kwargs": {"unet_kwargs": {
+            "input_nc": 1, "ngf": 4, "fmap_inc_factor": 2,
+            "downsample_factors": [[2, 2, 2]], "constant_upsample": True,
+        }, "num_affs": 3},
+        "elastic_aug1_kwargs": None, "elastic_aug2_kwargs": None,
+        "lsd_kwargs": {"sigma": 120, "downsample": 2}, "max_labels": 16,
+        "optim_type": "adam", "optim_kwargs": {"learning_rate": 0.001},
+        "model_path": str(tmp_path / "models") + "/",
+        "train_kwargs": {"log_dir": str(tmp_path / "tb"), "log_every": 2,
+                         "num_epochs": 4, "save_every": 4},
+    }
+    cfg = tmp_path / "train_conf.json"
+    cfg.write_text(json.dumps(train_conf))
+    system = load_system(str(cfg))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        system.build_system()
+        system.train()
+    finally:
+        os.chdir(cwd)
+
+    # ---- validation loop: predict -> segment -> skeleton VOI --------------
+    nml = make_skeleton_nml(labels, str(tmp_path / "skel.nml"))
+    val_conf = {
+        "checkpoint": 4,
+        "metric_path": str(tmp_path / "validation_metrics.json"),
+        "prediction_config_path": str(tmp_path / "predict_conf.json"),
+        "segment_config": {
+            "file": src["path"],
+            "aff_ds": "volumes/pred_affs",
+            "thresholds": [0.5],
+            "save": True,
+        },
+        "skeleton_config": {
+            "file": src["path"],
+            "skeleton_path": nml,
+            "dataset": "skeleton_rasterization",
+            "shape": list(shape),
+            "voxel_size": [30, 30, 30],
+        },
+    }
+    predict_conf = {
+        "config_path": str(cfg),
+        "source_path": src["path"],
+        "source_dataset": src["raw"],
+        "checkpoint": 4,
+        "output_ds": ["volumes/pred_affs", "volumes/pred_lsds"],
+        "input_shape": 36,
+        "output_shape": 20,
+        "dest_path": src["path"],
+    }
+    (tmp_path / "predict_conf.json").write_text(json.dumps(predict_conf))
+    (tmp_path / "val_conf.json").write_text(json.dumps(val_conf))
+
+    from raygun_tpu.eval.validate import validate_affinities
+
+    validate_affinities(str(tmp_path / "val_conf.json"))
+
+    # artifacts of every stage exist
+    affs = open_ds(src["path"], "volumes/pred_affs")
+    assert affs.shape[0] == 3
+    seg = open_ds(src["path"], "pred_seg_0.50").read()
+    assert seg.shape == affs.spatial_shape
+    skel = open_ds(src["path"], "skeleton_rasterization").read()
+    assert skel.max() > 0
+    metrics = json.loads((tmp_path / "validation_metrics.json").read_text())
+    entry = metrics["4"]
+    for key in ("voi_split", "voi_merge", "nvi_split", "nvi_merge", "nid"):
+        assert key in entry and np.isfinite(entry[key]), entry
