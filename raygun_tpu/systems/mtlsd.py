@@ -390,7 +390,11 @@ class MTLSD(BaseSystem):
         """Build the jitted forward + output spec for blockwise prediction
         (the reference worker's load-system-pick-net path,
         ``worker.py:48-71``). ``checkpoint`` may be an iteration number or a
-        path; None → newest."""
+        path; None → newest.
+
+        NOTE: training feeds raw scaled to [-1, 1]; render configs must set
+        ``"scaleShift_input": [2, -1]`` (same contract as the reference
+        worker, ``worker.py:109-114``) or predictions collapse."""
         from ..train.state import load_params_only
 
         self.setup_model()

@@ -103,6 +103,7 @@ def test_train_predict_segment_validate(tmp_path):
         "source_path": src["path"],
         "source_dataset": src["raw"],
         "checkpoint": 4,
+        "scaleShift_input": [2, -1],  # MTLSD trains on [-1,1] raw
         "output_ds": ["volumes/pred_affs", "volumes/pred_lsds"],
         "input_shape": 36,
         "output_shape": 20,
