@@ -88,9 +88,14 @@ def predict(render_config_path: str) -> List[str]:
     output_ds = render_config["output_ds"]
     if output_ds is None:
         suffix = f"_{net_name}" if net_name else ""
+        # when the render config omits 'checkpoint', name outputs after the
+        # iteration predict_setup actually resolved (never "..._None")
+        ckpt_label = checkpoint
+        if ckpt_label is None:
+            ckpt_label = getattr(system, "resolved_iteration", None)
         output_ds = [
-            f"{source_dataset}{suffix}_{checkpoint}_{key}" if len(output_spec) > 1
-            else f"{source_dataset}{suffix}_{checkpoint}"
+            f"{source_dataset}{suffix}_{ckpt_label}_{key}" if len(output_spec) > 1
+            else f"{source_dataset}{suffix}_{ckpt_label}"
             for key, _ in output_spec
         ]
 

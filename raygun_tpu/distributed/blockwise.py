@@ -105,6 +105,29 @@ class BlockwiseRunner:
         sl = tuple(slice(int(r), int(r) + s) for r, s in zip(rel, shape))
         return out[sl]
 
+    def _read_result(self, fut, read_roi: Roi) -> np.ndarray:
+        """Wait for an async read; on failure re-issue it up to max_retries
+        times (daisy retries guard exactly this: transient storage errors,
+        reference ``predict.py:161``)."""
+        for attempt in range(self.max_retries + 1):
+            try:
+                return np.asarray(fut.result())
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                fut = self.source.read_async(read_roi)
+
+    def _drain_write(self, entry) -> None:
+        fut, vol, roi, arr = entry
+        for attempt in range(self.max_retries + 1):
+            try:
+                fut.result()
+                return
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                fut = vol.write_async(roi, arr)
+
     def run(self, progress: bool = True) -> dict:
         pending_writes: List = []
 
@@ -116,7 +139,7 @@ class BlockwiseRunner:
             for write, read in self.blocks[g: g + self.device_batch]:
                 nominal_write = Roi(write.offset, self.write_size)
                 futures.append(
-                    (self.source.read_async(read), write, nominal_write)
+                    (self.source.read_async(read), read, write, nominal_write)
                 )
             return futures
 
@@ -128,8 +151,8 @@ class BlockwiseRunner:
         for g in range(0, n, db):
             t0 = time.perf_counter()
             group = [
-                (np.asarray(fut.result()), write, nominal)
-                for fut, write, nominal in group_futures
+                (self._read_result(fut, read), write, nominal)
+                for fut, read, write, nominal in group_futures
             ]
             self.stats["read_s"] += time.perf_counter() - t0
             if g + db < n:
@@ -165,14 +188,14 @@ class BlockwiseRunner:
                         a = np.moveaxis(a, -1, 0)  # channels-first on disk
                     if vol.dtype != a.dtype:
                         a = _rescale_to_dtype(a, vol.dtype)
-                    pending_writes.append(vol.write_async(write, a))
+                    pending_writes.append((vol.write_async(write, a), vol, write, a))
                 self.stats["blocks"] += 1
             # bound the write queue
             while len(pending_writes) > 8:
-                pending_writes.pop(0).result()
+                self._drain_write(pending_writes.pop(0))
             self.stats["write_s"] += time.perf_counter() - t0
         for w in pending_writes:
-            w.result()
+            self._drain_write(w)
         return self.stats
 
 

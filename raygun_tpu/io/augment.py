@@ -139,7 +139,7 @@ def elastic_margin(
     last two axes (anisotropy-aware, like the reference's in-plane
     rotations)."""
     nd = len(target_shape)
-    margin = [int(math.ceil(3.0 * s)) + 1 for s in jitter_sigma]
+    margin = [int(math.ceil(3.0 * s)) + 1 if s > 0 else 0 for s in jitter_sigma]
     if rotation and nd >= 2:
         a, b = target_shape[-2], target_shape[-1]
         # worst-case in-plane rotation by π/4: half-diagonal minus half-side

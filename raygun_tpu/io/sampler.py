@@ -30,49 +30,74 @@ from ..core.roi import Coordinate, Roi
 from .volume import Volume, open_ds
 
 
+def _box_sums(arr: np.ndarray, crop_shape: Sequence[int]) -> np.ndarray:
+    """Per-origin box sums of ``arr`` over every crop-shaped window, via a
+    summed-area table + inclusion-exclusion over the 2^nd corners. O(volume)."""
+    nd = arr.ndim
+    crop_shape = tuple(crop_shape)
+    valid_extent = tuple(m - c + 1 for m, c in zip(arr.shape, crop_shape))
+    sat = arr.astype(np.float64)
+    for ax in range(nd):
+        sat = np.cumsum(sat, axis=ax)
+    sat = np.pad(sat, [(1, 0)] * nd)
+    sums = np.zeros(valid_extent, np.float64)
+    for corner in range(2**nd):
+        sl = []
+        sign = 1
+        for ax in range(nd):
+            take_hi = (corner >> ax) & 1
+            if take_hi:
+                sl.append(slice(crop_shape[ax], crop_shape[ax] + valid_extent[ax]))
+            else:
+                sl.append(slice(0, valid_extent[ax]))
+                sign = -sign
+        sums += sign * sat[tuple(sl)]
+    return sums
+
+
 def valid_origins(
     mask: np.ndarray,
     crop_shape: Sequence[int],
     min_masked: float = 0.0,
     max_origins: int = 2**20,
+    data: Optional[np.ndarray] = None,
+    min_coefvar: float = 0.0,
 ) -> np.ndarray:
-    """Enumerate crop origins whose mask fraction ≥ min_masked.
+    """Enumerate crop origins whose mask fraction ≥ min_masked and (when
+    ``data``/``min_coefvar`` given) whose coefficient of variation
+    std/|mean| ≥ min_coefvar — the gp.RejectConstant capability (reference
+    ``CycleDataPipe.py:118-131``): flat, featureless crops (empty resin)
+    never enter training.
 
-    Uses an integral image (summed-area table) so cost is O(volume), not
+    Uses integral images (summed-area tables) so cost is O(volume), not
     O(volume · crop). Returns (N, nd) int32 origins."""
     nd = mask.ndim
     crop_shape = tuple(crop_shape)
     valid_extent = tuple(m - c + 1 for m, c in zip(mask.shape, crop_shape))
     if any(v <= 0 for v in valid_extent):
         raise ValueError(f"crop {crop_shape} larger than volume {mask.shape}")
-    if min_masked <= 0.0:
+    n_vox = float(np.prod(crop_shape))
+
+    keep = None
+    if min_masked > 0.0:
+        frac = _box_sums(mask.astype(np.float64), crop_shape) / n_vox
+        keep = frac >= min_masked
+    if min_coefvar > 0.0 and data is not None:
+        d = data.astype(np.float64)
+        mean = _box_sums(d, crop_shape) / n_vox
+        var = np.maximum(_box_sums(d * d, crop_shape) / n_vox - mean**2, 0.0)
+        cv = np.sqrt(var) / np.maximum(np.abs(mean), 1e-12)
+        keep = (cv >= min_coefvar) if keep is None else keep & (cv >= min_coefvar)
+
+    if keep is None:
         grids = np.meshgrid(*[np.arange(v) for v in valid_extent], indexing="ij")
         origins = np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
     else:
-        m = mask.astype(np.float64)
-        sat = m
-        for ax in range(nd):
-            sat = np.cumsum(sat, axis=ax)
-        sat = np.pad(sat, [(1, 0)] * nd)
-
-        # box sum at each origin via inclusion-exclusion over 2^nd corners
-        sums = np.zeros(valid_extent, np.float64)
-        for corner in range(2**nd):
-            sl = []
-            sign = 1
-            for ax in range(nd):
-                take_hi = (corner >> ax) & 1
-                if take_hi:
-                    sl.append(slice(crop_shape[ax], crop_shape[ax] + valid_extent[ax]))
-                else:
-                    sl.append(slice(0, valid_extent[ax]))
-                    sign = -sign
-            sums += sign * sat[tuple(sl)]
-        frac = sums / float(np.prod(crop_shape))
-        origins = np.argwhere(frac >= min_masked).astype(np.int32)
+        origins = np.argwhere(keep).astype(np.int32)
         if len(origins) == 0:
             raise ValueError(
-                f"no crop of shape {crop_shape} satisfies min_masked={min_masked}"
+                f"no crop of shape {crop_shape} satisfies min_masked="
+                f"{min_masked}, min_coefvar={min_coefvar}"
             )
     if len(origins) > max_origins:
         idx = np.random.default_rng(0).choice(len(origins), max_origins, replace=False)
@@ -94,6 +119,8 @@ class DeviceVolumeSampler:
         crop_shape: Sequence[int],
         mask_name: Optional[str] = None,
         min_masked: float = 0.0,
+        min_coefvar: float = 0.0,
+        data_name: Optional[str] = None,
         device=None,
     ):
         self.crop_shape = tuple(int(c) for c in crop_shape)
@@ -106,11 +133,17 @@ class DeviceVolumeSampler:
             )
         if mask_name is not None:
             mask = np.asarray(arrays[mask_name]) > 0
-            origins = valid_origins(mask, self.crop_shape, min_masked)
         else:
-            origins = valid_origins(
-                np.ones(self.spatial_shape, bool), self.crop_shape, 0.0
-            )
+            mask = np.ones(self.spatial_shape, bool)
+        data = None
+        if min_coefvar > 0.0:
+            data = np.asarray(arrays[data_name or next(iter(arrays))])
+            if data.ndim > nd:  # channels-last: CV over the first channel
+                data = data[..., 0]
+        origins = valid_origins(
+            mask, self.crop_shape, min_masked if mask_name else 0.0,
+            data=data, min_coefvar=min_coefvar,
+        )
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
         self.origins = put(origins)
         self.data = {k: put(v) for k, v in arrays.items()}
@@ -272,10 +305,14 @@ class HostStreamSampler:
             stacked = {
                 k: np.stack([b[k] for b in batch]) for k in batch[0]
             }
-            try:
-                self.queue.put(stacked, timeout=1.0)
-            except queue.Full:
-                continue
+            # keep offering the SAME batch until the consumer takes it — a
+            # slow consumer must not waste completed tensorstore reads
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(stacked, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def next(self) -> Dict[str, np.ndarray]:
         return self.queue.get()

@@ -366,8 +366,12 @@ def interpolate(x: Array, scale_factor=None, size=None, method: str = "linear") 
     spatial = x.shape[1:-1]
     if size is None:
         assert scale_factor is not None
-        sf = _norm_tuple(scale_factor, nd) if not isinstance(scale_factor, (int, float)) else (scale_factor,) * nd
-        size = tuple(int(round(s * f)) for s, f in zip(spatial, sf))
+        if isinstance(scale_factor, (int, float)):
+            sf = (float(scale_factor),) * nd
+        else:
+            sf = tuple(float(f) for f in scale_factor)  # fractions allowed
+            assert len(sf) == nd
+        size = tuple(max(1, int(round(s * f))) for s, f in zip(spatial, sf))
     new_shape = (x.shape[0],) + tuple(size) + (x.shape[-1],)
     jax_method = {"linear": "linear", "bilinear": "linear", "trilinear": "linear", "nearest": "nearest", "cubic": "cubic"}[method]
     return jax.image.resize(x, new_shape, method=jax_method)

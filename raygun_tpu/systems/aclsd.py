@@ -86,6 +86,7 @@ class ACLSD(MTLSD):
         )
         variables = self.init_network_params(self.model, in_shape, init_type="kaiming")
         self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
         out = jax.eval_shape(
             lambda p, x: self.model.apply({"params": p}, x, train=False),
             self.params, jnp.zeros(in_shape, self.dtype),
@@ -158,6 +159,10 @@ class ACLSD(MTLSD):
         if checkpoint is None:
             checkpoint, _ = latest_checkpoint(self.checkpoint_basename)
         params = load_params_only(str(checkpoint), self.params)
+        self.resolved_checkpoint = str(checkpoint)
+        import re as _re
+        m = _re.search(r"_checkpoint_(\d+)$", str(checkpoint))
+        self.resolved_iteration = int(m.group(1)) if m else None
         model = self.model
 
         ac_shape = self.ac_output_shape

@@ -84,6 +84,10 @@ DEFAULT_D_LAMBDAS = {
 
 
 class CycleGAN(BaseSystem):
+    # sampling-bottleneck factors; set by setup_model when enabled
+    scale_factor_A = None
+    scale_factor_B = None
+
     def __init__(self, config=None):
         super().__init__(config=config, default_config="default_cycleGAN_conf.json")
 
@@ -105,6 +109,18 @@ class CycleGAN(BaseSystem):
 
     # -- networks / model ---------------------------------------------------
     def setup_networks(self):
+        # running-stat norms are not plumbed through the 3-phase functional
+        # GAN step (4 nets × multiple applies per step); reject LOUDLY
+        # instead of failing at apply time (MTLSD supports norm="batch")
+        for which, nk in (("gnet_kwargs", self.gnet_kwargs),
+                          ("dnet_kwargs", self.dnet_kwargs)):
+            norm = (nk or {}).get("norm")
+            if isinstance(norm, str) and norm.lower().startswith("batch"):
+                raise NotImplementedError(
+                    f"{which}: norm='batch' (running statistics) is not "
+                    "supported on the CycleGAN path — use 'instance' (the "
+                    "reference generator default) or 'group'"
+                )
         self.netG1 = self.get_network(self.gnet_type, self.gnet_kwargs)
         self.netG2 = self.get_network(self.gnet_type, self.gnet_kwargs)
         self.netD1 = self.get_network(self.dnet_type, self.dnet_kwargs)
@@ -152,18 +168,35 @@ class CycleGAN(BaseSystem):
         if not hasattr(self, "netG1"):
             self.setup_networks()
         self.split = self.loss_type.lower() == "split"
+        # sampling bottleneck (reference ``CycleGAN.setup_model:144-156`` +
+        # ``CycleModel.sampling_bottleneck:24-34``): when a side's native
+        # voxel size is coarser than the common grid, fakes generated INTO
+        # that domain are down/up-resampled so the generator cannot hide
+        # high-frequency information the real domain could not carry.
+        self.scale_factor_A = self.scale_factor_B = None
+        if self.sampling_bottleneck:
+            for side in ("A", "B"):
+                src = self.sources[side]
+                vx = np.asarray(open_ds(src["path"], src["name"]).voxel_size, float)
+                sf = tuple(
+                    (np.asarray(self.common_voxel_size, float) / vx)[-self.ndims:]
+                )
+                if any(s < 1 for s in sf):
+                    setattr(self, f"scale_factor_{side}", sf)
+
+    def _bottleneck(self, x, scale_factor):
+        """Down- then up-sample (reference ``CycleModel.py:27-34``)."""
+        size = x.shape[1:-1]
+        down = interpolate(x, scale_factor=scale_factor, method="linear")
+        return interpolate(down, size=size, method="linear")
 
     def _g_apply(self, which: str, params, x, train=True):
         net = self.netG1 if which == "G1" else self.netG2
-        return net.apply(
-            {"params": params}, x, train=train and getattr(self, "_norm_train", True)
-        )
+        return net.apply({"params": params}, x, train=train)
 
     def _d_apply(self, which: str, params, x, train=True):
         net = self.netD1 if which == "D1" else self.netD2
-        return net.apply(
-            {"params": params}, x, train=train and getattr(self, "_norm_train", True)
-        )
+        return net.apply({"params": params}, x, train=train)
 
     # -- optimization ---------------------------------------------------------
     def setup_optimization(self):
@@ -246,6 +279,10 @@ class CycleGAN(BaseSystem):
                 crop_shape,
                 mask_name="mask" if "mask" in arrays else None,
                 min_masked=0.999 if "mask" in arrays else 0.0,
+                # gp.RejectConstant parity: per-source min coefficient of
+                # variation (reference ``CycleDataPipe.py:118-131``)
+                min_coefvar=float(src.get("min_coefvar") or 0.0),
+                data_name="real",
             )
 
     def _sample_side(self, side: str, key) -> jax.Array:
@@ -275,19 +312,25 @@ class CycleGAN(BaseSystem):
 
     # -- the GAN step -----------------------------------------------------------
     def _forward_cycle(self, g_params, real_A, real_B, split: bool, train=True):
-        """CycleModel.forward parity (reference ``CycleModel.py:37-89``)."""
+        """CycleModel.forward parity (reference ``CycleModel.py:37-89``),
+        including the optional sampling bottleneck applied to fakes BEFORE
+        the cycle pass (so the cycle generator sees band-limited input)."""
         fake_B = self._g_apply("G1", g_params["G1"], real_A, train)
         fake_A = self._g_apply("G2", g_params["G2"], real_B, train)
+        if self.scale_factor_B is not None:
+            fake_B = self._bottleneck(fake_B, self.scale_factor_B)
+        if self.scale_factor_A is not None:
+            fake_A = self._bottleneck(fake_A, self.scale_factor_A)
         in_B = jax.lax.stop_gradient(fake_B) if split else fake_B
         in_A = jax.lax.stop_gradient(fake_A) if split else fake_A
         cycled_A = self._g_apply("G2", g_params["G2"], in_B, train)
         cycled_B = self._g_apply("G1", g_params["G1"], in_A, train)
         return fake_B, fake_A, cycled_A, cycled_B
 
-    def _g_losses(self, g_params, d_params, real_A, real_B):
+    def _g_losses(self, g_params, d_params, real_A, real_B, norm_train=True):
         nd = self.ndims
         fake_B, fake_A, cycled_A, cycled_B = self._forward_cycle(
-            g_params, real_A, real_B, self.split
+            g_params, real_A, real_B, self.split, train=norm_train
         )
         metrics = {}
 
@@ -299,7 +342,9 @@ class CycleGAN(BaseSystem):
                     if lam == 0:
                         continue
                     if kind == "identity" and identity is None:
-                        identity = self._g_apply(gnet, g_params[gnet], real)
+                        identity = self._g_apply(
+                            gnet, g_params[gnet], real, train=norm_train
+                        )
                     pred = {"cycled": cycled, "fake": fake, "identity": identity}[kind]
                     if fcn_name == "l1_loss":
                         tgt = real
@@ -308,7 +353,10 @@ class CycleGAN(BaseSystem):
                         term = smooth_l1(tgt, pred)
                     elif fcn_name == "gan_loss":
                         term = gan_loss(
-                            self._d_apply(dnet, jax.lax.stop_gradient(dnet_params), pred),
+                            self._d_apply(
+                                dnet, jax.lax.stop_gradient(dnet_params), pred,
+                                train=norm_train,
+                            ),
                             True, self.gan_mode,
                         )
                     metrics[f"{fcn_name}/{kind}_{side}"] = term
@@ -326,7 +374,8 @@ class CycleGAN(BaseSystem):
         }
         return loss_G1 + loss_G2, aux
 
-    def _d_losses(self, d_params, real_A, real_B, fake_A, fake_B, cycled_A, cycled_B):
+    def _d_losses(self, d_params, real_A, real_B, fake_A, fake_B, cycled_A,
+                  cycled_B, norm_train=True):
         metrics = {}
 
         def one(side, dnet, data):
@@ -335,7 +384,8 @@ class CycleGAN(BaseSystem):
                 if lam == 0:
                     continue
                 pred = self._d_apply(
-                    dnet, d_params[dnet], jax.lax.stop_gradient(data[kind])
+                    dnet, d_params[dnet], jax.lax.stop_gradient(data[kind]),
+                    train=norm_train,
                 )
                 term = gan_loss(pred, kind == "real", self.gan_mode)
                 metrics[f"Discriminator_{side}/{kind}"] = term
@@ -357,8 +407,6 @@ class CycleGAN(BaseSystem):
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
-            # set at trace time so each compiled variant bakes its own mode
-            self._norm_train = norm_train
             batch = self.make_batch(key)
             real_A, real_B = batch["real_A"], batch["real_B"]
             # crop reals to generator-output size for the loss
@@ -370,7 +418,7 @@ class CycleGAN(BaseSystem):
             # ---- G phase -------------------------------------------------
             (g_total, aux), g_grads = jax.value_and_grad(
                 self._g_losses, has_aux=True
-            )(g_params, d_params, real_A, real_B)
+            )(g_params, d_params, real_A, real_B, norm_train)
 
             opt_state = dict(state.opt_state)
             if split:
@@ -402,6 +450,7 @@ class CycleGAN(BaseSystem):
                 )(
                     new_d, real_Ac, real_Bc,
                     aux["fake_A"], aux["fake_B"], aux["cycled_A"], aux["cycled_B"],
+                    norm_train,
                 )
                 upd, od = d_tx.update(d_grads, od, new_d)
                 new_d = optax.apply_updates(new_d, upd)
@@ -444,6 +493,10 @@ class CycleGAN(BaseSystem):
         phases = None
         if self.freeze_norms_at is not None:
             phases = {int(self.freeze_norms_at): self.make_train_step(norm_train=False)}
+        tk = dict(self.train_kwargs or {})
+        from .mtlsd import MTLSD
+
+        validate_every, validate_fn = MTLSD.make_validate_fn(self)
         self.trainer = Trainer(
             step_fn=self.make_train_step(),
             state=self.state,
@@ -458,6 +511,10 @@ class CycleGAN(BaseSystem):
             snapshot_fn=self.make_snapshot_fn(),
             voxel_size=tuple(self.common_voxel_size)[-self.ndims:],
             seed=int(self.random_seed),
+            image_every=tk.get("image_every"),
+            histogram_every=tk.get("histogram_every"),
+            validate_every=validate_every,
+            validate_fn=validate_fn,
         )
 
     def make_request(self, mode: str = "train"):
@@ -481,6 +538,10 @@ class CycleGAN(BaseSystem):
                 f"no checkpoint at {self.checkpoint_basename}_checkpoint_*"
             )
         params = load_params_only(str(checkpoint), self.params)
+        self.resolved_checkpoint = str(checkpoint)
+        import re as _re
+        m = _re.search(r"_checkpoint_(\d+)$", str(checkpoint))
+        self.resolved_iteration = int(m.group(1)) if m else None
         which = "G1" if (net_name or "netG1").lower().endswith("1") else "G2"
         net = self.netG1 if which == "G1" else self.netG2
         p = params[which]

@@ -65,10 +65,13 @@ class MTLSDModel(nn.Module):
             output_nc=self.num_affs, kernel_sizes=[(1,) * ndims],
             activation="sigmoid", name="aff_head",
         )(z, train=train)
-        lsds = ConvPass(
-            output_nc=self.num_lsds, kernel_sizes=[(1,) * ndims],
-            activation="sigmoid", name="lsd_head",
-        )(z, train=train)
+        if self.num_lsds > 0:
+            lsds = ConvPass(
+                output_nc=self.num_lsds, kernel_sizes=[(1,) * ndims],
+                activation="sigmoid", name="lsd_head",
+            )(z, train=train)
+        else:  # affinity-only config (lsd_kwargs: null)
+            lsds = affs[..., :0]
         return affs, lsds
 
 
@@ -174,11 +177,17 @@ class MTLSD(BaseSystem):
             self.model, in_shape, init_type="kaiming"
         )
         self.params = variables["params"]
+        # norm="batch" support: running statistics live in state.extra and
+        # are threaded through apply(mutable=) in the train step
+        self.batch_stats = variables.get("batch_stats")
         # shape contract check (reference carries output_shape in config;
         # we verify it against the actual valid-conv algebra)
+        probe_vars = {"params": self.params}
+        if self.batch_stats:
+            probe_vars["batch_stats"] = self.batch_stats
         out = jax.eval_shape(
-            lambda p, x: self.model.apply({"params": p}, x, train=False),
-            self.params, jnp.zeros(in_shape, self.dtype),
+            lambda v, x: self.model.apply(v, x, train=False),
+            probe_vars, jnp.zeros(in_shape, self.dtype),
         )
         model_out = tuple(out[0].shape[1:-1])
         assert model_out == self.output_shape, (
@@ -187,10 +196,14 @@ class MTLSD(BaseSystem):
 
     def setup_optimization(self):
         self.tx = get_optimizer(self.optim_type, self.optim_kwargs)
+        extra = {}
+        if self.batch_stats:
+            extra["batch_stats"] = self.batch_stats
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.params,
             opt_state=self.tx.init(self.params),
+            extra=extra,
         )
 
     # -- data -----------------------------------------------------------
@@ -212,15 +225,19 @@ class MTLSD(BaseSystem):
             sources.append(arrays)
         self.source_arrays = sources[0]
 
-        # read crop = input_shape + elastic margin
-        jitter = (0,) * self.ndims
+        # read crop = input_shape + elastic margin. Config tuples may be
+        # given per-isotropic-axis (len == ndims); pad LEADING (coarse,
+        # anisotropic) axes so all shape algebra runs at full spatial rank.
+        rank = len(self.input_shape)
+        jitter = (0.0,) * rank
         if self.elastic_aug2_kwargs:
-            jitter = tuple(self.elastic_aug2_kwargs.get("jitter_sigma", jitter))
+            j = tuple(self.elastic_aug2_kwargs.get("jitter_sigma", ()))
+            jitter = (0.0,) * (rank - len(j)) + j
         self.use_elastic = bool(self.elastic_aug1_kwargs or self.elastic_aug2_kwargs)
         if self.use_elastic:
             self.margin = elastic_margin(self.input_shape, jitter, rotation=True)
         else:
-            self.margin = (0,) * self.ndims
+            self.margin = (0,) * rank
         crop_shape = tuple(i + 2 * m for i, m in zip(self.input_shape, self.margin))
 
         rl = self.random_location_kwargs or {}
@@ -247,14 +264,21 @@ class MTLSD(BaseSystem):
         labels = crops["labels"]
         lmask = crops.get("labels_mask", jnp.ones_like(labels))
 
+        rank = len(self.input_shape)
         if self.use_elastic:
             e2 = self.elastic_aug2_kwargs or self.elastic_aug1_kwargs
+            # pad per-axis params shorter than rank on the LEADING axes
+            # (anisotropic configs give isotropic-plane values only)
+            cps = tuple(e2.get("control_point_spacing", (40,) * rank))
+            cps = cps[:1] * (rank - len(cps)) + cps
+            jit = tuple(e2.get("jitter_sigma", (0,) * rank))
+            jit = (0.0,) * (rank - len(jit)) + jit
             coords = elastic_coordinates(
                 ks[1],
                 raw.shape,
                 self.input_shape,
-                tuple(e2.get("control_point_spacing", (40,) * self.ndims)),
-                tuple(e2.get("jitter_sigma", (0,) * self.ndims)),
+                cps,
+                jit,
                 subsample=int(e2.get("subsample", 4)),
                 num_rotation_draws=int(bool(self.elastic_aug1_kwargs))
                 + int(bool(self.elastic_aug2_kwargs)),
@@ -263,7 +287,13 @@ class MTLSD(BaseSystem):
             labels = warp(labels, coords, order=0)
             lmask = warp(lmask, coords, order=0)
         arrays = {"raw": raw, "labels": labels, "labels_mask": lmask}
-        arrays = simple_augment(arrays, ks[2], ndims=self.ndims)
+        # mirror/transpose only the ISOTROPIC (trailing ndims) axes — parity
+        # with reference augment_axes = np.arange(3)[-ndims:]
+        # (``CycleDataPipe.py:134-137``, ``MTLSDDataPipe.py:57-97``)
+        aug_axes = list(range(rank - self.ndims, rank))
+        arrays = simple_augment(
+            arrays, ks[2], ndims=rank, mirror_only=aug_axes, transpose_only=aug_axes
+        )
         raw, labels, lmask = arrays["raw"], arrays["labels"], arrays["labels_mask"]
 
         if self.intensity_aug_kwargs:
@@ -306,13 +336,24 @@ class MTLSD(BaseSystem):
     def make_train_step(self):
         model, tx = self.model, self.tx
         use_lsds = bool(self.lsd_kwargs)
+        use_bn = bool(self.batch_stats)
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
             batch = self.make_batch(key)
 
-            def loss_fn(params):
-                affs, lsds = model.apply({"params": params}, batch["raw"], train=True)
+            def loss_fn(params, stats):
+                variables = {"params": params}
+                if use_bn:
+                    variables["batch_stats"] = stats
+                    (affs, lsds), upd = model.apply(
+                        variables, batch["raw"], train=True,
+                        mutable=["batch_stats"],
+                    )
+                    new_stats = upd["batch_stats"]
+                else:
+                    affs, lsds = model.apply(variables, batch["raw"], train=True)
+                    new_stats = stats
                 aff_loss = weighted_mse(affs, batch["gt_affs"], batch["affs_weights"])
                 metrics = {"Affinities": aff_loss}
                 total = aff_loss
@@ -320,15 +361,18 @@ class MTLSD(BaseSystem):
                     lsd_loss = weighted_mse(lsds, batch["gt_lsds"], batch["lsds_weights"])
                     metrics["LSDs"] = lsd_loss
                     total = total + lsd_loss
-                return total, metrics
+                return total, (metrics, new_stats)
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.extra.get("batch_stats"))
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            extra = dict(state.extra)
+            if use_bn:
+                extra["batch_stats"] = new_stats
             new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state
+                step=state.step + 1, params=params, opt_state=opt_state, extra=extra
             )
             return new_state, {"loss": loss, **metrics}
 
@@ -340,7 +384,10 @@ class MTLSD(BaseSystem):
         @jax.jit
         def snapshot_fn(state, key):
             batch = self.make_batch(key)
-            affs, lsds = model.apply({"params": state.params}, batch["raw"], train=False)
+            variables = {"params": state.params}
+            if state.extra.get("batch_stats"):
+                variables["batch_stats"] = state.extra["batch_stats"]
+            affs, lsds = model.apply(variables, batch["raw"], train=False)
             out = dict(batch)
             out["pred_affs"] = affs
             if bool(self.lsd_kwargs):
@@ -349,9 +396,36 @@ class MTLSD(BaseSystem):
 
         return snapshot_fn
 
+    def make_validate_fn(self):
+        """Training-time validation hook (parity: reference
+        ``BaseCompetentLoss.update_status:72-76`` firing ``run_validation``
+        every ``validate_every`` steps). Config key: ``validation_config``
+        (same meta-config surface as raygun-run-validation)."""
+        if not self.validation_config:
+            return None, None
+        vc = dict(self.validation_config)
+        every = int(vc.get("validate_every", 0) or 0)
+        if every <= 0:
+            return None, None
+
+        def validate(step: int):
+            from ..eval.validate import run_validation
+
+            try:
+                run_validation(vc, step)
+            except Exception as e:  # validation must never kill training
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "validation at step %d failed: %s", step, e
+                )
+
+        return every, validate
+
     def setup_trainer(self):
         tk = dict(self.train_kwargs or {})
         os.makedirs(self.model_path, exist_ok=True)
+        validate_every, validate_fn = self.make_validate_fn()
         self.trainer = Trainer(
             step_fn=self.make_train_step(),
             state=self.state,
@@ -365,6 +439,10 @@ class MTLSD(BaseSystem):
             snapshot_fn=self.make_snapshot_fn(),
             voxel_size=tuple(self.voxel_size),
             seed=int(self.random_seed),
+            image_every=tk.get("image_every"),
+            histogram_every=tk.get("histogram_every"),
+            validate_every=validate_every,
+            validate_fn=validate_fn,
         )
 
     def make_request(self, mode: str = "train"):
@@ -407,11 +485,22 @@ class MTLSD(BaseSystem):
                 f"no checkpoint at {self.checkpoint_basename}_checkpoint_*"
             )
         params = load_params_only(str(checkpoint), self.params)
+        self.resolved_checkpoint = str(checkpoint)
+        import re as _re
+        m = _re.search(r"_checkpoint_(\d+)$", str(checkpoint))
+        self.resolved_iteration = int(m.group(1)) if m else None
         model = self.model
+        eval_variables = {"params": params}
+        if self.batch_stats:
+            from ..train.state import load_collection
+
+            stats = load_collection(str(checkpoint), "batch_stats", self.batch_stats)
+            if stats is not None:
+                eval_variables["batch_stats"] = stats
 
         @jax.jit
         def fwd(x):
-            affs, lsds = model.apply({"params": params}, x, train=False)
+            affs, lsds = model.apply(eval_variables, x, train=False)
             out = {"affs": affs}
             if self.lsd_kwargs:
                 out["lsds"] = lsds

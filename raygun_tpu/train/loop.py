@@ -83,6 +83,10 @@ class Trainer:
         voxel_size: Sequence[int] = (1, 1, 1),
         seed: int = 42,
         log_fn: Optional[Callable[[Any, Any, int], None]] = None,
+        image_every: Optional[int] = None,
+        histogram_every: Optional[int] = None,
+        validate_every: Optional[int] = None,
+        validate_fn: Optional[Callable[[int], Any]] = None,
     ):
         self.step_fn = step_fn
         # {start_step: fn} phase switches (e.g. freeze_norms_at — reference
@@ -102,6 +106,15 @@ class Trainer:
             SummaryWriter(log_dir) if (log_dir and SummaryWriter is not None) else None
         )
         self.log_fn = log_fn
+        # tensorboard image panels / param histograms (parity: reference
+        # ``MTLSDModel.add_log:39-55`` mid-section images and
+        # ``FreezableModel.add_log:16-28`` norm-stat histograms)
+        self.image_every = image_every
+        self.histogram_every = histogram_every
+        # training-time validation (parity: reference
+        # ``BaseCompetentLoss.update_status:72-76`` -> run_validation)
+        self.validate_every = validate_every
+        self.validate_fn = validate_fn
         self.stats = ProfilingStats()
 
     # -- checkpointing ---------------------------------------------------
@@ -143,6 +156,58 @@ class Trainer:
             )
             ds.write(total, arr)
 
+    # -- tensorboard extras --------------------------------------------------
+    def log_images(self, step: int, key):
+        """Mid-section image panels of the snapshot arrays (reference
+        ``MTLSDModel.add_log``/``BaseCompetentLoss.add_log`` behavior:
+        first batch element, middle z-section, [-1,1] rescaled to [0,1])."""
+        if self.writer is None or self.snapshot_fn is None:
+            return
+        arrays = jax.device_get(self.snapshot_fn(self.state, key))
+        nd = len(self.voxel_size)
+        for name, arr in arrays.items():
+            img = np.asarray(arr)
+            if img.ndim > nd:  # batch dim
+                img = img[0]
+            # channels-last -> pick first channel for the panel
+            if img.ndim == nd + 1:
+                img = img[..., 0]
+            while img.ndim > 2:  # 3D volume: middle z-section
+                img = img[img.shape[0] // 2]
+            img = img.astype(np.float32)
+            if img.min() < 0 and img.min() >= -1.0 and img.max() <= 1.0:
+                img = img * 0.5 + 0.5
+            self.writer.add_image(name, img[None], global_step=step)
+
+    def log_histograms(self, step: int):
+        """Per-module parameter histograms + norm-layer stats (the
+        instance-norm-era equivalent of the reference's running-stat
+        histograms, ``FreezableModel.add_log:16-28``)."""
+        if self.writer is None:
+            return
+        params = jax.device_get(getattr(self.state, "params", None))
+        if params is None:
+            return
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        by_top: Dict[str, list] = {}
+        norm_leaves = []
+        for path, leaf in flat:
+            top = str(path[0]).strip("'[].")
+            by_top.setdefault(top, []).append(np.asarray(leaf).ravel())
+            pstr = "/".join(str(p).strip("'[].") for p in path)
+            if "norm" in pstr.lower() or "scale" in pstr.lower():
+                norm_leaves.append(np.asarray(leaf).ravel())
+        rng = np.random.default_rng(0)
+        for top, leaves in by_top.items():
+            v = np.concatenate(leaves)
+            if v.size > 65536:  # keep event files small
+                v = rng.choice(v, 65536, replace=False)
+            self.writer.add_histogram(f"params/{top}", v, global_step=step)
+        if norm_leaves:
+            self.writer.add_histogram(
+                "norm_params", np.concatenate(norm_leaves), global_step=step
+            )
+
     # -- main loop ---------------------------------------------------------
     def train(self, start_iteration: Optional[int] = None) -> Any:
         it0 = self.resume() if start_iteration is None else start_iteration
@@ -180,6 +245,18 @@ class Trainer:
                 self.stats.reset()
             if self.snapshot_every and step % self.snapshot_every == 0:
                 self.snapshot(step, key)
+            if self.image_every and step % self.image_every == 0:
+                self.log_images(step, key)
+            if self.histogram_every and step % self.histogram_every == 0:
+                self.log_histograms(step)
+            if (
+                self.validate_every
+                and self.validate_fn is not None
+                and step % self.validate_every == 0
+            ):
+                if not (self.save_every and step % self.save_every == 0):
+                    self.save(step)  # validation loads the checkpoint
+                self.validate_fn(step)
         if self.save_every and self.num_epochs % self.save_every != 0:
             self.save(self.num_epochs)
         if self.writer is not None:

@@ -45,15 +45,16 @@ def natural_keys(text: str):
 def latest_checkpoint(basename: str) -> Tuple[Optional[str], int]:
     """Find newest ``{basename}_checkpoint_*`` (parity with reference
     ``BaseSystem.py:125-143``)."""
-    checkpoints = glob(basename + "_checkpoint_*")
+    # filter to exact `_checkpoint_<digits>` names so leftover `.tmp` files
+    # from a crash mid-save (or unrelated suffixes) can never be resumed from
+    checkpoints = [
+        c for c in glob(basename + "_checkpoint_*")
+        if re.search(r"_checkpoint_\d+$", c)
+    ]
     checkpoints.sort(key=natural_keys)
     if checkpoints:
         checkpoint = checkpoints[-1]
-        try:
-            iteration = int(checkpoint.split("_")[-1])
-        except ValueError:
-            return checkpoint, 0
-        return checkpoint, iteration
+        return checkpoint, int(checkpoint.split("_")[-1])
     return None, 0
 
 
@@ -73,6 +74,18 @@ def load_checkpoint(path: str, template: Any) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(template, data)
+
+
+def load_collection(path: str, name: str, template: Any) -> Optional[Any]:
+    """Load an ``extra[name]`` collection (e.g. batch_stats) from a full-state
+    checkpoint; None if the checkpoint has no such collection."""
+    with open(path, "rb") as f:
+        data = f.read()
+    state_dict = serialization.msgpack_restore(data)
+    node = state_dict.get("extra", {}).get(name)
+    if node is None or node == {}:
+        return None
+    return serialization.from_state_dict(template, node)
 
 
 def load_params_only(path: str, params_template: Any) -> Any:

@@ -102,3 +102,63 @@ class TestInspectTests:
         sig = significance_matrices(dists, tests=("ks", "mannwhitneyu"))
         assert sig["ks"]["m1"]["m2"] < 0.01  # clearly different
         assert np.isnan(sig["ks"]["m1"]["m1"])
+
+
+class TestWkwDecode:
+    """wkw voxel decode round-trip (reference ``wkw_seg_to_zarr.py:284-410``):
+    encode a synthetic labeled cube into the wkw on-disk format (Morton-order
+    blocks + voxels), zip it webknossos-style, convert to zarr, compare."""
+
+    def test_morton_grid_is_permutation(self):
+        from raygun_tpu.webknossos_utils.wk import _morton_grid
+
+        for n in (1, 2, 4, 8):
+            m = _morton_grid(n).ravel()
+            assert sorted(m.tolist()) == list(range(n**3))
+        # canonical z-order: (1,0,0)->1, (0,1,0)->2, (0,0,1)->4
+        m = _morton_grid(2)
+        assert m[1, 0, 0] == 1 and m[0, 1, 0] == 2 and m[0, 0, 1] == 4
+
+    def test_encode_decode_roundtrip(self):
+        from raygun_tpu.webknossos_utils.wk import decode_wkw_file, encode_wkw_file
+
+        rng = np.random.default_rng(3)
+        vol = rng.integers(0, 40, (1, 8, 8, 8)).astype(np.uint32)
+        data = encode_wkw_file(vol, block_len=4, file_len=2)
+        out = decode_wkw_file(data)
+        assert out.dtype == vol.dtype
+        np.testing.assert_array_equal(out, vol)
+
+    def test_multichannel_roundtrip(self):
+        from raygun_tpu.webknossos_utils.wk import decode_wkw_file, encode_wkw_file
+
+        rng = np.random.default_rng(4)
+        vol = rng.random((3, 4, 4, 4)).astype(np.float32)
+        out = decode_wkw_file(encode_wkw_file(vol, block_len=4, file_len=1))
+        np.testing.assert_array_equal(out, vol)
+
+    def test_wkw_seg_to_zarr(self, tmp_path):
+        import zipfile
+
+        from raygun_tpu.io import open_ds
+        from raygun_tpu.webknossos_utils.wk import encode_wkw_file, wkw_seg_to_zarr
+
+        rng = np.random.default_rng(7)
+        side = 16  # one file of 4x4x4 blocks of 4^3 voxels
+        seg = rng.integers(0, 12, (side, side, side)).astype(np.uint32)
+        zp = tmp_path / "annotation.zip"
+        with zipfile.ZipFile(zp, "w") as z:
+            z.writestr(
+                "segmentation/1/z0/y0/x0.wkw",
+                encode_wkw_file(seg[None], block_len=4, file_len=4),
+            )
+            z.writestr(
+                "datasource-properties.json", json.dumps({"scale": [30, 30, 30]})
+            )
+        save = str(tmp_path / "out.zarr")
+        ds_name = wkw_seg_to_zarr(str(zp), save, dataset_name="volumes/gt")
+        vol = open_ds(save, ds_name)
+        assert tuple(vol.voxel_size) == (30, 30, 30)
+        got = vol.read()
+        # wkw (x,y,z) -> zarr (z,y,x)
+        np.testing.assert_array_equal(got, np.transpose(seg, (2, 1, 0)))

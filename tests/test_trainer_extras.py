@@ -1,0 +1,96 @@
+"""Trainer observability + validation hooks (round 2):
+
+* tensorboard image panels (reference ``MTLSDModel.add_log:39-55``)
+* parameter histograms (reference ``FreezableModel.add_log:16-28``)
+* training-time validation every ``validate_every`` steps (reference
+  ``BaseCompetentLoss.update_status:72-76``)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raygun_tpu.train.loop import Trainer
+from raygun_tpu.train.state import TrainState, latest_checkpoint
+
+
+class FakeWriter:
+    def __init__(self):
+        self.scalars, self.images, self.hists = [], [], []
+
+    def add_scalar(self, tag, v, step):
+        self.scalars.append((tag, v, step))
+
+    def add_image(self, tag, img, global_step=None, **kw):
+        self.images.append((tag, np.asarray(img), global_step))
+
+    def add_histogram(self, tag, values, global_step=None):
+        self.hists.append((tag, np.asarray(values), global_step))
+
+    def flush(self):
+        pass
+
+
+def make_trainer(tmp_path, **kw):
+    tx_like = jnp.zeros(())
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params={"unet": {"kernel": jnp.ones((3, 3, 4)), "norm_scale": jnp.ones((4,))}},
+        opt_state=tx_like,
+    )
+
+    def step_fn(state, key):
+        return state.replace(step=state.step + 1), {"loss": jnp.float32(0.5)}
+
+    def snapshot_fn(state, key):
+        # batched 3D volume in [-1, 1] + a channels-last prediction
+        return {
+            "raw": -jnp.ones((1, 6, 8, 8, 1)) * 0.5,
+            "pred_affs": jnp.full((1, 6, 8, 8, 3), 0.25),
+        }
+
+    return Trainer(
+        step_fn=step_fn,
+        state=state,
+        num_epochs=4,
+        log_every=1,
+        save_every=0,
+        checkpoint_basename=str(tmp_path / "model"),
+        snapshot_fn=snapshot_fn,
+        voxel_size=(1, 1, 1),
+        **kw,
+    )
+
+
+def test_image_panels(tmp_path):
+    tr = make_trainer(tmp_path, image_every=2)
+    tr.writer = FakeWriter()
+    tr.train(start_iteration=0)
+    tags = {t for t, _, _ in tr.writer.images}
+    assert tags == {"raw", "pred_affs"}
+    steps = sorted({s for _, _, s in tr.writer.images})
+    assert steps == [2, 4]
+    for _, img, _ in tr.writer.images:
+        assert img.ndim == 3 and img.shape[1:] == (8, 8)  # CHW mid-section
+        assert img.min() >= 0.0  # [-1,1] rescaled into [0,1]
+
+
+def test_histograms(tmp_path):
+    tr = make_trainer(tmp_path, histogram_every=2)
+    tr.writer = FakeWriter()
+    tr.train(start_iteration=0)
+    tags = {t for t, _, _ in tr.writer.hists}
+    assert "params/unet" in tags
+    assert "norm_params" in tags
+
+
+def test_validate_hook_saves_then_runs(tmp_path):
+    calls = []
+    tr = make_trainer(
+        tmp_path, validate_every=2, validate_fn=lambda step: calls.append(step)
+    )
+    tr.train(start_iteration=0)
+    assert calls == [2, 4]
+    # a checkpoint exists for the validation to load
+    path, it = latest_checkpoint(str(tmp_path / "model"))
+    assert path is not None and it == 4
