@@ -122,6 +122,71 @@ class BaseSystem:
             f"{type(self).__name__} has no attribute or config key {name!r}{hint}"
         )
 
+    # -- device mesh ------------------------------------------------------
+    def get_mesh(self):
+        """Build the training mesh from the ``mesh`` config key (SURVEY §2.3:
+        data parallelism maps to pjit batch sharding over a named mesh).
+
+        Accepted forms::
+
+            "mesh": null            -> single device (default)
+            "mesh": 8               -> 8-way data parallel
+            "mesh": "auto"          -> all local devices
+            "mesh": {"data": 8}     -> explicit axis dict (only "data" today)
+
+        Returns a ``jax.sharding.Mesh`` with axis "data", or None. The batch
+        axis is sharded over "data"; params are replicated and XLA inserts
+        the gradient all-reduce (ICI collectives on a TPU slice).
+        """
+        if getattr(self, "_mesh_cache", None) is not None:
+            return self._mesh_cache
+        spec = self.mesh
+        if spec is None or spec is False:
+            return None
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if spec == "auto":
+            n = len(devices)
+        elif isinstance(spec, dict):
+            n = int(spec.get("data", len(devices)))
+        else:
+            n = int(spec)
+        if n <= 1:
+            return None
+        if n > len(devices):
+            raise ValueError(
+                f"mesh wants {n} devices, only {len(devices)} visible"
+            )
+        if self.batch_size and int(self.batch_size) % n != 0:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by mesh size {n}"
+            )
+        self._mesh_cache = Mesh(np.asarray(devices[:n]), ("data",))
+        return self._mesh_cache
+
+    def shard_batch_keys(self, keys):
+        """Constrain per-sample PRNG keys to the data axis so XLA partitions
+        the whole sample->augment->target pipeline per device."""
+        mesh = self.get_mesh()
+        if mesh is None:
+            return keys
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            keys, NamedSharding(mesh, P("data"))
+        )
+
+    def replicate_state(self, state):
+        """Place train state replicated over the mesh (single-controller
+        multi-device; params identical on every chip)."""
+        mesh = self.get_mesh()
+        if mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(state, NamedSharding(mesh, P()))
+
     # -- RNG --------------------------------------------------------------
     def seed_rngs(self):
         """Parity with reference seeding (BaseSystem.py:78-83), adapted to

@@ -223,9 +223,9 @@ class CycleGAN(BaseSystem):
                 "G": g_tx.init({"G1": self.params["G1"], "G2": self.params["G2"]}),
                 "D": d_tx.init({"D1": self.params["D1"], "D2": self.params["D2"]}),
             }
-        self.state = TrainState(
+        self.state = self.replicate_state(TrainState(
             step=jnp.zeros((), jnp.int32), params=self.params, opt_state=opt_state
-        )
+        ))
 
     # -- data -----------------------------------------------------------------
     def setup_datapipes(self):
@@ -274,6 +274,12 @@ class CycleGAN(BaseSystem):
                 crop_shape = (1,) * (len(self.common_voxel_size) - self.ndims) + crop_len
             else:
                 crop_shape = crop_len
+            device = None
+            mesh = self.get_mesh()
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                device = NamedSharding(mesh, P())
             self.samplers[side] = DeviceVolumeSampler(
                 arrays,
                 crop_shape,
@@ -283,6 +289,7 @@ class CycleGAN(BaseSystem):
                 # variation (reference ``CycleDataPipe.py:118-131``)
                 min_coefvar=float(src.get("min_coefvar") or 0.0),
                 data_name="real",
+                device=device,
             )
 
     def _sample_side(self, side: str, key) -> jax.Array:
@@ -307,8 +314,19 @@ class CycleGAN(BaseSystem):
         kA, kB = jax.random.split(key)
         sample = lambda side, k: jax.vmap(
             lambda kk: self._sample_side(side, kk)
-        )(jax.random.split(k, self.batch_size))
-        return {"real_A": sample("A", kA), "real_B": sample("B", kB)}
+        )(self.shard_batch_keys(jax.random.split(k, self.batch_size)))
+        batch = {"real_A": sample("A", kA), "real_B": sample("B", kB)}
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                ),
+                batch,
+            )
+        return batch
 
     # -- the GAN step -----------------------------------------------------------
     def _forward_cycle(self, g_params, real_A, real_B, split: bool, train=True):

@@ -199,12 +199,12 @@ class MTLSD(BaseSystem):
         extra = {}
         if self.batch_stats:
             extra["batch_stats"] = self.batch_stats
-        self.state = TrainState(
+        self.state = self.replicate_state(TrainState(
             step=jnp.zeros((), jnp.int32),
             params=self.params,
             opt_state=self.tx.init(self.params),
             extra=extra,
-        )
+        ))
 
     # -- data -----------------------------------------------------------
     def setup_datapipes(self):
@@ -242,17 +242,25 @@ class MTLSD(BaseSystem):
 
         rl = self.random_location_kwargs or {}
         mask_name = "cell_mask" if "cell_mask" in sources[0] else None
+        # under a mesh, source volumes live replicated in every chip's HBM
+        # so the per-device sampling partitions cleanly
+        device = None
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            device = NamedSharding(mesh, P())
         if len(sources) == 1:
             self.sampler = DeviceVolumeSampler(
                 sources[0], crop_shape, mask_name=mask_name,
-                min_masked=rl.get("min_masked", 0.0),
+                min_masked=rl.get("min_masked", 0.0), device=device,
             )
         else:
             from ..io.sampler import MultiSourceSampler
 
             self.sampler = MultiSourceSampler(
                 sources, crop_shape, mask_name=mask_name,
-                min_masked=rl.get("min_masked", 0.0),
+                min_masked=rl.get("min_masked", 0.0), device=device,
             )
 
     def _make_sample(self, key) -> Dict[str, jax.Array]:
@@ -329,8 +337,19 @@ class MTLSD(BaseSystem):
         return out
 
     def make_batch(self, key) -> Dict[str, jax.Array]:
-        keys = jax.random.split(key, self.batch_size)
-        return jax.vmap(self._make_sample)(keys)
+        keys = self.shard_batch_keys(jax.random.split(key, self.batch_size))
+        batch = jax.vmap(self._make_sample)(keys)
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                ),
+                batch,
+            )
+        return batch
 
     # -- train step --------------------------------------------------------
     def make_train_step(self):
