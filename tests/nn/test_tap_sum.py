@@ -30,12 +30,14 @@ def test_tap_sum_gradients_flow():
     assert float(jnp.abs(g).sum()) > 0
 
 
-def test_convnd_threshold_routing():
-    """High-channel valid conv uses the tap-sum param layout."""
+def test_convnd_uniform_param_layout():
+    """All ConvNd routes share one param layout (kernel/bias directly on the
+    module) so checkpoints are route-independent."""
     big = ConvNd(features=256, kernel_size=(3, 3), padding="valid", use_tap_sum=True)
     x = jnp.zeros((1, 8, 8, 256))
     v = big.init(jax.random.PRNGKey(0), x)
-    assert "kernel" in v["params"]  # direct param = tap-sum path
+    assert "kernel" in v["params"]
     small = ConvNd(features=8, kernel_size=(3, 3), padding="valid")
     v2 = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)))
-    assert "Conv_0" in v2["params"]  # nn.Conv child = lax path
+    assert "kernel" in v2["params"]
+    assert v2["params"]["kernel"].shape == (3, 3, 4, 8)
