@@ -43,14 +43,16 @@ def _load() -> ctypes.CDLL:
     f64 = ctypes.c_double
 
     lib.mutex_watershed.argtypes = [
-        f32p, i64p, i64, i64, i64, i64, i64, i64p, ctypes.c_void_p, u64p,
+        f32p, i64p, i64, i64, i64, i64, i64, i64p, ctypes.c_void_p,
+        ctypes.c_void_p, u64p,
     ]
     lib.seeded_watershed.argtypes = [f32p, u64p, ctypes.c_void_p, i64, i64, i64, u64p]
     lib.agglomerate.argtypes = [f32p, u64p, i64, i64, i64, f32p, i64, f64, u64p]
     lib.rand_voi.argtypes = [u64p, u64p, i64, f64p]
     lib.connected_components.argtypes = [u8p, i64, i64, i64, i64, u64p]
+    lib.mws_region_graph.argtypes = [f32p, i64p, i64p, u8p, i64, i64, u64p]
     for fn in (lib.mutex_watershed, lib.seeded_watershed, lib.agglomerate,
-               lib.rand_voi, lib.connected_components):
+               lib.rand_voi, lib.connected_components, lib.mws_region_graph):
         fn.restype = None
     return lib
 
@@ -78,10 +80,13 @@ def mutex_watershed(
     sep: int,
     strides: Sequence[int] = (1, 1, 1),
     mask: Optional[np.ndarray] = None,
+    stride_phase: Optional[Sequence[int]] = None,
 ) -> np.ndarray:
     """affogato ``compute_mws_segmentation`` capability: first ``sep``
     channels attractive (high weight merges), rest repulsive (high weight
-    separates)."""
+    separates). ``stride_phase`` is the global origin of this array modulo
+    nothing in particular — it keeps repulsive-edge subsampling phase
+    consistent across chunks of a larger volume (blockwise MWS)."""
     affs = np.ascontiguousarray(affs, np.float32)
     C, Z, Y, X = affs.shape
     offsets = np.ascontiguousarray(offsets, np.int64)
@@ -93,8 +98,12 @@ def mutex_watershed(
     strides_arr = np.ascontiguousarray(strides, np.int64)
     out = np.zeros((Z, Y, X), np.uint64)
     keep = _mask_ptr(mask)
+    phase = None
+    if stride_phase is not None:
+        phase = np.ascontiguousarray(stride_phase, np.int64)
     lib().mutex_watershed(
         affs, offsets.reshape(-1), C, sep, Z, Y, X, strides_arr,
+        phase.ctypes.data_as(ctypes.c_void_p) if phase is not None else None,
         keep[1] if keep else None, out.reshape(-1),
     )
     return out
@@ -153,6 +162,28 @@ def rand_voi(gt: np.ndarray, seg: np.ndarray, return_cluster_scores: bool = Fals
         "nvi_merge": res[5],
         "nid": res[6],
     }
+
+
+def mws_region_graph(
+    weights: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    attractive: np.ndarray,
+    n_nodes: int,
+) -> np.ndarray:
+    """Mutex watershed on an explicit edge list (the blockwise-MWS stitch
+    phase): Kruskal-with-mutexes over edges sorted by weight descending.
+    Returns the union-find root per node (not compacted)."""
+    weights = np.ascontiguousarray(weights, np.float32)
+    u = np.ascontiguousarray(u, np.int64)
+    v = np.ascontiguousarray(v, np.int64)
+    attractive = np.ascontiguousarray(attractive, np.uint8)
+    assert weights.shape == u.shape == v.shape == attractive.shape
+    out = np.zeros(int(n_nodes), np.uint64)
+    lib().mws_region_graph(
+        weights, u, v, attractive, len(weights), int(n_nodes), out
+    )
+    return out
 
 
 def connected_components(mask: np.ndarray, connectivity: int = 3) -> np.ndarray:

@@ -64,9 +64,13 @@ struct UnionFind {
 // mask:      (Z*Y*X) uint8 or NULL; voxels with mask==0 get label 0.
 // out:       (Z*Y*X) uint64 segmentation, labels start at 1.
 
+// stride_phase: global voxel coordinate of this array's origin modulo the
+// strides — keeps repulsive-edge subsampling phase-consistent when the array
+// is a chunk of a larger volume (blockwise MWS).
 void mutex_watershed(const float* affs, const int64_t* offsets, int64_t n_offsets,
                      int64_t sep, int64_t Z, int64_t Y, int64_t X,
-                     const int64_t* strides, const uint8_t* mask, uint64_t* out) {
+                     const int64_t* strides, const int64_t* stride_phase,
+                     const uint8_t* mask, uint64_t* out) {
     const int64_t N = Z * Y * X;
 
     struct Edge {
@@ -85,18 +89,21 @@ void mutex_watershed(const float* affs, const int64_t* offsets, int64_t n_offset
         const int64_t sz = attractive ? 1 : strides[0];
         const int64_t sy = attractive ? 1 : strides[1];
         const int64_t sx = attractive ? 1 : strides[2];
+        const int64_t pz = stride_phase ? stride_phase[0] : 0;
+        const int64_t py = stride_phase ? stride_phase[1] : 0;
+        const int64_t px = stride_phase ? stride_phase[2] : 0;
         for (int64_t z = 0; z < Z; ++z) {
             const int64_t z2 = z + oz;
             if (z2 < 0 || z2 >= Z) continue;
-            if (!attractive && (z % sz)) continue;
+            if (!attractive && ((z + pz) % sz)) continue;
             for (int64_t y = 0; y < Y; ++y) {
                 const int64_t y2 = y + oy;
                 if (y2 < 0 || y2 >= Y) continue;
-                if (!attractive && (y % sy)) continue;
+                if (!attractive && ((y + py) % sy)) continue;
                 for (int64_t x = 0; x < X; ++x) {
                     const int64_t x2 = x + ox;
                     if (x2 < 0 || x2 >= X) continue;
-                    if (!attractive && (x % sx)) continue;
+                    if (!attractive && ((x + px) % sx)) continue;
                     const int64_t u = (z * Y + y) * X + x;
                     const int64_t v = (z2 * Y + y2) * X + x2;
                     if (mask && (!mask[u] || !mask[v])) continue;
@@ -166,6 +173,62 @@ void mutex_watershed(const float* affs, const int64_t* offsets, int64_t n_offset
             out[i] = it->second;
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// mutex watershed on an explicit edge list (segment-level region graph).
+//
+// The stitch phase of blockwise MWS (seg/blockwise_mws.py): nodes are
+// block-local segment ids (compacted by the caller), edges are aggregated
+// cross-block voxel edges. Same Kruskal-with-mutexes semantics as the voxel
+// kernel above; edges are sorted by weight descending here.
+// out: (n_nodes) uint64 — root id per node (NOT compacted; caller relabels).
+// ---------------------------------------------------------------------------
+
+void mws_region_graph(const float* w, const int64_t* u, const int64_t* v,
+                      const uint8_t* attractive, int64_t n_edges,
+                      int64_t n_nodes, uint64_t* out) {
+    std::vector<int64_t> order(static_cast<size_t>(n_edges));
+    std::iota(order.begin(), order.end(), 0);
+    std::sort(order.begin(), order.end(),
+              [&](int64_t a, int64_t b) { return w[a] > w[b]; });
+
+    UnionFind uf(static_cast<size_t>(n_nodes));
+    std::vector<std::unordered_set<int64_t>> mutexes(
+        static_cast<size_t>(n_nodes));
+    auto has_mutex = [&](int64_t ra, int64_t rb) {
+        const auto& small = mutexes[ra].size() < mutexes[rb].size()
+                                ? mutexes[ra] : mutexes[rb];
+        const int64_t other =
+            mutexes[ra].size() < mutexes[rb].size() ? rb : ra;
+        return small.count(other) > 0;
+    };
+    for (int64_t k = 0; k < n_edges; ++k) {
+        const int64_t e = order[k];
+        int64_t ru = uf.find(u[e]);
+        int64_t rv = uf.find(v[e]);
+        if (ru == rv) continue;
+        if (attractive[e]) {
+            if (has_mutex(ru, rv)) continue;
+            int64_t keep = uf.merge(ru, rv);
+            int64_t gone = keep == ru ? rv : ru;
+            if (!mutexes[gone].empty()) {
+                for (int64_t m : mutexes[gone]) {
+                    int64_t rm = uf.find(m);
+                    if (rm == keep) continue;
+                    mutexes[keep].insert(rm);
+                    mutexes[rm].erase(gone);
+                    mutexes[rm].insert(keep);
+                }
+                mutexes[gone].clear();
+            }
+        } else {
+            mutexes[ru].insert(rv);
+            mutexes[rv].insert(ru);
+        }
+    }
+    for (int64_t i = 0; i < n_nodes; ++i)
+        out[i] = static_cast<uint64_t>(uf.find(i));
 }
 
 // ---------------------------------------------------------------------------

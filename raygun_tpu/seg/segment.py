@@ -147,8 +147,12 @@ MUTEX_DEFAULTS = {
 
 
 def mutex_segment(config_path):
-    """Parity with reference ``segment.py:139-228``. Accepts a config path
-    or an inline dict (the validation loop passes sub-dicts)."""
+    """Parity with reference ``segment.py:139-228``, minus its whole-volume
+    RAM defect (``:186`` "TODO: MAKE DAISY COMPATIBLE" — SURVEY §2.4): when
+    the affinity volume exceeds ``max_ram_gb`` (or ``blockwise: true``), the
+    streamed chunked path (:mod:`raygun_tpu.seg.blockwise_mws`) runs instead
+    of the in-RAM kernel. Accepts a config path or an inline dict (the
+    validation loop passes sub-dicts)."""
     seg_config = dict(MUTEX_DEFAULTS)
     seg_config.update(
         config_path if isinstance(config_path, dict) else read_config(config_path)
@@ -163,8 +167,18 @@ def mutex_segment(config_path):
     mask_thresh = float(seg_config["mask_thresh"])
     max_aff = float(seg_config["max_affinity_value"])
 
-    logger.info("Loading affinity predictions...")
     vol = open_ds(file, aff_ds)
+    est_gb = 4.0 * float(np.prod(vol.shape)) / 1e9
+    blockwise = seg_config.get("blockwise")
+    if blockwise is None:
+        blockwise = est_gb > float(seg_config.get("max_ram_gb", 16))
+
+    if blockwise:
+        return _mutex_segment_blockwise(
+            config_path, seg_config, vol, neighborhood, sep, mask_thresh, max_aff
+        )
+
+    logger.info("Loading affinity predictions...")
     affs = vol.read().astype(np.float32)
     if np.issubdtype(vol.dtype, np.integer):
         affs = affs / float(np.iinfo(vol.dtype).max)
@@ -192,6 +206,57 @@ def mutex_segment(config_path):
     out.write(vol.roi, seg.astype(np.uint64))
     _append_ng_script(config_path, file, dest_dataset)
     return seg
+
+
+def _mutex_segment_blockwise(config_path, seg_config, vol, neighborhood, sep,
+                             mask_thresh, max_aff):
+    """Chunk-streamed mutex watershed (peak RAM independent of volume
+    size); writes the destination dataset chunk by chunk."""
+    from .blockwise_mws import mutex_watershed_blockwise
+
+    file = seg_config["file"]
+    chunk = tuple(seg_config.get("chunk_shape", (192, 192, 192)))
+    shape = vol.spatial_shape
+    int_max = (
+        float(np.iinfo(vol.dtype).max)
+        if np.issubdtype(vol.dtype, np.integer) else None
+    )
+
+    dest_dataset = seg_config.get("dest_dataset", f"mutex_{mask_thresh:.2f}")
+    out = prepare_ds(
+        file, dest_dataset, vol.roi, vol.voxel_size, np.uint64, delete=True
+    )
+
+    def read_affs(lo, hi):
+        sl = (slice(None),) + tuple(slice(l, h) for l, h in zip(lo, hi))
+        arr = vol.store[sl].read().result().astype(np.float32)
+        if int_max is not None:
+            arr = arr / int_max
+        inv = 1.0 - arr
+        inv[:sep] = arr[:sep]  # attractive channels keep their sign
+        return inv
+
+    def write_labels(lo, hi, labels):
+        out.store[tuple(slice(l, h) for l, h in zip(lo, hi))] = labels
+
+    def read_labels(lo, hi):
+        return out.store[
+            tuple(slice(l, h) for l, h in zip(lo, hi))
+        ].read().result()
+
+    logger.info(
+        f"Blockwise mutex watershed over {shape} in {chunk} chunks..."
+    )
+    n = mutex_watershed_blockwise(
+        read_affs, shape, neighborhood, sep, write_labels, read_labels,
+        chunk=chunk, strides=seg_config["strides"],
+        mask_thresh=mask_thresh, max_affinity_value=max_aff,
+    )
+    logger.info(f"Segmented: {n} segments.")
+    _append_ng_script(config_path, file, dest_dataset)
+    if seg_config.get("return_seg", False):
+        return out.read()
+    return out
 
 
 def _append_ng_script(config_path, file, dest_dataset):
