@@ -39,6 +39,11 @@ RENDER_DEFAULTS = {
     "out_specs": None,
     "scaleShift_input": None,
     "device_batch": 1,
+    # mesh-sharded whole-volume inference (SURVEY §5.7): true = shard the
+    # leading spatial axis over all devices; a list like [2, 2, 2] = devices
+    # per spatial axis. Replaces the block grid with ONE jitted program +
+    # ICI halo exchange; seam-equivalent to the blockwise path (tested).
+    "sharded": None,
 }
 
 
@@ -145,19 +150,44 @@ def predict(render_config_path: str) -> List[str]:
             outs = {k: v[crop_slices] for k, v in outs.items()}
         return outs
 
-    runner = BlockwiseRunner(
-        source=source,
-        outputs=outputs,
-        fn=block_fn,
-        input_shape=input_shape,
-        output_shape=output_shape,
-        max_retries=render_config["max_retries"],
-        normalize_fn=normalize_fn,
-        process_index=jax.process_index(),
-        num_processes=jax.process_count(),
-        device_batch=int(render_config["device_batch"]),
-    )
-    stats = runner.run()
+    sharded = render_config["sharded"]
+    if sharded:
+        from ..distributed.blockwise import sharded_infer_volume
+
+        if sharded is True:
+            mesh_shape = [len(jax.devices())] + [1] * (ndims - 1)
+        elif isinstance(sharded, int):
+            mesh_shape = [sharded] + [1] * (ndims - 1)
+        else:
+            mesh_shape = list(sharded)
+
+        def shard_fn(x):
+            return {k: v[0] for k, v in block_fn(x[None]).items()}
+
+        stats = sharded_infer_volume(
+            source=source,
+            outputs=outputs,
+            fn=shard_fn,
+            input_shape=input_shape,
+            output_shape=output_shape,
+            mesh_shape=mesh_shape,
+            total_write_roi=total_write_roi,
+            normalize_fn=normalize_fn,
+        )
+    else:
+        runner = BlockwiseRunner(
+            source=source,
+            outputs=outputs,
+            fn=block_fn,
+            input_shape=input_shape,
+            output_shape=output_shape,
+            max_retries=render_config["max_retries"],
+            normalize_fn=normalize_fn,
+            process_index=jax.process_index(),
+            num_processes=jax.process_count(),
+            device_batch=int(render_config["device_batch"]),
+        )
+        stats = runner.run()
     print(
         f"predicted {stats['blocks']} blocks: read {stats['read_s']:.1f}s, "
         f"compute {stats['compute_s']:.1f}s, write {stats['write_s']:.1f}s"

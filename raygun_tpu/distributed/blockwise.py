@@ -273,3 +273,165 @@ def make_sharded_infer_1d(
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def halo_exchange(
+    x: jax.Array,
+    halos: Sequence[int],
+    axis_names: Sequence[str],
+    axes: Sequence[int],
+) -> jax.Array:
+    """N-D halo exchange: sequential 1-D exchanges per mesh axis. Corner
+    regions are correct because each later exchange sends slabs of the
+    already-extended array."""
+    for h, name, ax in zip(halos, axis_names, axes):
+        if h > 0:
+            x = halo_exchange_1d(x, h, name, axis=ax)
+    return x
+
+
+def make_sharded_infer(
+    model_fn: Callable,
+    mesh: Mesh,
+    halos: Sequence[int],
+    spatial_axes: Optional[Sequence[int]] = None,
+):
+    """N-D mesh-sharded whole-volume inference (one jitted program).
+
+    ``model_fn(x)``: valid-conv net ``(*in_spatial, C) → pytree of
+    (*out_spatial, C')`` with in = out + 2·halo per axis. The input is
+    sharded over ``mesh.axis_names`` along ``spatial_axes`` (default: the
+    leading axes in mesh order); halo slabs move over ICI; each output
+    leaf comes back sharded the same way (per-shard extent = shard extent,
+    so the global output has the INPUT's extent along sharded axes — the
+    outer ``halo`` voxels there were computed from edge-reflected context
+    and must be cropped by the caller; :func:`sharded_infer_volume`
+    arranges the read ROI so they fall outside the write region).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    names = list(mesh.axis_names)
+    if spatial_axes is None:
+        spatial_axes = list(range(len(names)))
+    max_ax = max(spatial_axes)
+    spec_list: List[Optional[str]] = [None] * (max_ax + 1)
+    for name, ax in zip(names, spatial_axes):
+        spec_list[ax] = name
+    in_spec = P(*spec_list)
+
+    def per_shard(x):
+        # axes with one mesh slot already hold their full context — an
+        # exchange there would concatenate reflected slabs onto real data
+        active = [
+            (h, n_, ax) for h, n_, ax in zip(halos, names, spatial_axes)
+            if mesh.shape[n_] > 1
+        ]
+        x = halo_exchange(
+            x, [a[0] for a in active], [a[1] for a in active],
+            [a[2] for a in active],
+        )
+        return model_fn(x)
+
+    sharded = shard_map(
+        per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec,
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_infer_volume(
+    source: Volume,
+    outputs: Dict[str, Volume],
+    fn: Callable,
+    input_shape: Sequence[int],
+    output_shape: Sequence[int],
+    mesh_shape: Sequence[int],
+    total_write_roi: Optional[Roi] = None,
+    normalize_fn: Optional[Callable] = None,
+    devices=None,
+) -> dict:
+    """Whole-volume inference over an N-D device mesh, CLI-reachable
+    (``raygun-predict`` config key ``sharded``).
+
+    Reads the write ROI grown by the valid-conv context (so edge shards'
+    halo context is REAL data; the reflected outermost halo only influences
+    voxels outside the write region, which are cropped), shards it over the
+    mesh, runs one jitted program with ICI halo exchange, and writes each
+    output. Replaces the reference's file-mediated worker swarm
+    (``predict.py:154-170``) for volumes that fit the pod (SURVEY §5.7).
+
+    ``fn(x)``: batchless forward ``(*in_spatial, C) → {name: (*out, C')}``.
+    ``mesh_shape``: devices per spatial axis, e.g. ``(2, 2, 2)``; axes with
+    1 are unsharded.
+    """
+    nd = len(input_shape)
+    mesh_shape = tuple(mesh_shape)
+    assert len(mesh_shape) == nd
+    voxel_size = source.voxel_size
+    context_vox = tuple(
+        (i - o) // 2 for i, o in zip(input_shape, output_shape)
+    )
+    context = Coordinate(context_vox) * voxel_size
+    if total_write_roi is None:
+        total_write_roi = source.roi.grow(-context, -context)
+    read_roi = total_write_roi.grow(context, context)
+    assert source.roi.contains(read_roi), (
+        "sharded inference reads write_roi + context; grow the source or "
+        "shrink total_write_roi"
+    )
+
+    stats = {"read_s": 0.0, "compute_s": 0.0, "write_s": 0.0, "blocks": 1}
+    t0 = time.perf_counter()
+    data = np.asarray(source.read(read_roi))
+    stats["read_s"] = time.perf_counter() - t0
+    if normalize_fn is not None:
+        data = normalize_fn(data)
+    if data.ndim == nd:
+        data = data[..., None]
+
+    # pad sharded axes up to divisibility (high side; the extra outputs are
+    # cropped — they never reach the write region)
+    R = data.shape[:nd]
+    padded = tuple(-(-r // m) * m for r, m in zip(R, mesh_shape))
+    if padded != R:
+        pad = [(0, p - r) for p, r in zip(padded, R)] + [(0, 0)]
+        data = np.pad(data, pad, mode="reflect")
+
+    if devices is None:
+        devices = jax.devices()[: int(np.prod(mesh_shape))]
+    names = tuple(f"b{d}" for d in range(nd))
+    mesh = Mesh(np.asarray(devices).reshape(mesh_shape), names)
+    sharded_fn = make_sharded_infer(
+        fn, mesh, halos=context_vox, spatial_axes=list(range(nd))
+    )
+    spec = P(*names)
+    x = jax.device_put(
+        jnp.asarray(data), jax.sharding.NamedSharding(mesh, spec)
+    )
+    t0 = time.perf_counter()
+    outs = sharded_fn(x)
+    outs = {k: np.asarray(v) for k, v in outs.items()}
+    stats["compute_s"] = time.perf_counter() - t0
+
+    # crop: sharded axes produced the input extent (outer context + padding
+    # garbage); unsharded axes already shaved the context
+    W = total_write_roi.voxel_shape(voxel_size)
+    t0 = time.perf_counter()
+    for name, arr in outs.items():
+        if name not in outputs:
+            continue
+        sl = tuple(
+            slice(c, c + w) if m > 1 else slice(0, w)
+            for c, w, m in zip(context_vox, W, mesh_shape)
+        )
+        a = arr[sl]
+        vol = outputs[name]
+        if a.ndim == nd + 1 and a.shape[-1] > 1:
+            a = np.moveaxis(a, -1, 0)
+        elif a.ndim == nd + 1:
+            a = a[..., 0]
+        if vol.dtype != a.dtype:
+            a = _rescale_to_dtype(a, vol.dtype)
+        vol.write(total_write_roi, a)
+    stats["write_s"] = time.perf_counter() - t0
+    return stats

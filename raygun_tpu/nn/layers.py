@@ -147,13 +147,15 @@ def pad_spatial(x: Array, pad: Sequence[Tuple[int, int]], mode: str = "reflect")
 TAP_SUM_MIN_CHANNELS = 256
 TAP_SUM_MAX_SPATIAL = 32768  # output voxels (~32^3)
 
-# z-decomposition routing: XLA:TPU lowers small-channel 3D convs very poorly
-# (enc_L0 of the MTLSD U-Net: 1.4% MFU). Decomposing the 3D conv into a sum
-# of 2D convs over z-taps (z folded into batch) hits XLA's best-optimized 2D
-# path: measured on v5e, 12->12ch @258^3 drops 47.8 -> 15.8 ms, 1->12 @260^3
-# 27.3 -> 8.9 ms, 84->12 @176^3 36.9 -> 25.1 ms. Big-channel convs are
-# faster in the native 3D path (enc_L3 83% MFU), so route on min-channels.
-ZDECOMP_MAX_MIN_CHANNELS = 16
+# z-decomposition routing: XLA:TPU lowers 3D convs worse than 2D convs at
+# EVERY channel count measured on v5e (scripts/perf_folded_conv*.py):
+# 12->12 @290^3 3.3 -> 9.9 TF/s, 72->72 @186^3 43 -> 65, 432->432 @90^3
+# 104 -> 131, folded 2592->3456 k2 @41^3 136 -> 167, and never loses at the
+# bottleneck (2592->2592 @43^3: 145.4 -> 146.9). Decomposing into a sum of
+# 2D convs over z-taps (z folded into batch) is therefore the default for
+# every valid stride-1 3D conv; it also LOWERS peak memory (the native 3D
+# path at 388^3 blocks does not even compile in 16 GB HBM).
+ZDECOMP_MAX_MIN_CHANNELS = 16  # retained for the legacy threshold route
 
 
 def conv_dimension_numbers_nd(nd: int) -> jax.lax.ConvDimensionNumbers:
@@ -378,7 +380,6 @@ class ConvNd(nn.Module):
                 nd == 3
                 and all(s == 1 for s in strides)
                 and self.feature_group_count == 1
-                and min(cin, self.features) <= ZDECOMP_MAX_MIN_CHANNELS
                 and all(kk > 1 for kk in self.kernel_size)
             ):
                 route = "zdecomp"

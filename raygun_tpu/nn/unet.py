@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
-    ZDECOMP_MAX_MIN_CHANNELS,
     Array,
     ConvNd,
     ConvTransposeNd,
@@ -272,7 +271,10 @@ class FusedUpConvPass(nn.Module):
         g_pad = jnp.pad(
             g, [(0, 0)] + [(0, n - 1) for n in ntaps] + [(0, 0)]
         )
-        y_coarse = conv_nd(g_pad, w_g)
+        if nd == 3:
+            y_coarse = conv3d_zdecomp(g_pad, w_g)
+        else:
+            y_coarse = conv_nd(g_pad, w_g)
         t2 = depth_to_space(y_coarse, factors)
         t2 = t2[
             (slice(None),)
@@ -284,7 +286,7 @@ class FusedUpConvPass(nn.Module):
         # f-part of the same kernel (small channels route through zdecomp).
         f_c = center_crop(f_left, target)
         w_f = kernel[..., :cf, :]
-        if nd == 3 and min(cf, self.output_nc) <= ZDECOMP_MAX_MIN_CHANNELS:
+        if nd == 3:
             t1 = conv3d_zdecomp(f_c, w_f)
         else:
             t1 = conv_nd(f_c, w_f)

@@ -151,3 +151,74 @@ class TestHaloExchange:
         xp = jnp.concatenate([jnp.flip(x[:2], 0), x, jnp.flip(x[-2:], 0)], 0)
         ref = model_fn(xp)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestShardedInferVolume:
+    """N-D mesh-sharded whole-volume inference (CLI 'sharded' path) is
+    seam-equivalent to the blockwise runner / a single full pass."""
+
+    def test_matches_single_pass_2x2x2(self, tmp_path, net_and_params):
+        net, params = net_and_params
+        from raygun_tpu.distributed.blockwise import sharded_infer_volume
+
+        rng = np.random.default_rng(1)
+        vol_shape = (22, 26, 30)  # non-divisible extents exercise padding
+        data = rng.random(vol_shape).astype(np.float32)
+        vx = Coordinate(4, 4, 4)
+        total = Roi((0, 0, 0), Coordinate(vol_shape) * vx)
+        path = str(tmp_path / "in.zarr")
+        src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+        src.write(total, data)
+
+        ctx = Coordinate(8, 8, 8)  # 2 voxels * vx
+        write_roi = total.grow(-ctx, -ctx)
+        dest = prepare_ds(path, "out", write_roi, vx, np.float32,
+                          num_channels=3, delete=True)
+
+        def fn(x):
+            return {"out": net.apply({"params": params}, x[None])[0]}
+
+        stats = sharded_infer_volume(
+            source=open_ds(path, "raw"),
+            outputs={"out": dest},
+            fn=fn,
+            input_shape=(12, 12, 12),
+            output_shape=(8, 8, 8),
+            mesh_shape=(2, 2, 2),
+        )
+        assert stats["blocks"] == 1
+
+        sharded = open_ds(path, "out").read()
+        full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+        full = np.moveaxis(np.asarray(full[0]), -1, 0)
+        assert sharded.shape == full.shape
+        np.testing.assert_allclose(sharded, full, rtol=0, atol=1e-5)
+
+    def test_single_axis_mesh(self, tmp_path, net_and_params):
+        net, params = net_and_params
+        from raygun_tpu.distributed.blockwise import sharded_infer_volume
+
+        rng = np.random.default_rng(2)
+        vol_shape = (36, 14, 14)
+        data = rng.random(vol_shape).astype(np.float32)
+        vx = Coordinate(1, 1, 1)
+        total = Roi((0, 0, 0), Coordinate(vol_shape))
+        path = str(tmp_path / "in.zarr")
+        src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+        src.write(total, data)
+        write_roi = total.grow(Coordinate(-2, -2, -2), Coordinate(-2, -2, -2))
+        dest = prepare_ds(path, "out", write_roi, vx, np.float32,
+                          num_channels=3, delete=True)
+
+        def fn(x):
+            return {"out": net.apply({"params": params}, x[None])[0]}
+
+        sharded_infer_volume(
+            source=open_ds(path, "raw"), outputs={"out": dest}, fn=fn,
+            input_shape=(12, 12, 12), output_shape=(8, 8, 8),
+            mesh_shape=(8, 1, 1),
+        )
+        sharded = open_ds(path, "out").read()
+        full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+        full = np.moveaxis(np.asarray(full[0]), -1, 0)
+        np.testing.assert_allclose(sharded, full, rtol=0, atol=1e-5)
