@@ -46,7 +46,8 @@ def main():
     # decoder + z-decomposed conv routing cut peak HBM enough to fit 388^3
     # in 16 GB). Fall back to smaller blocks if compile fails.
     candidate_shapes = [
-        (388, 388, 388), (324, 324, 324), (260, 260, 260), (196, 196, 196)
+        (420, 420, 420), (388, 388, 388), (324, 324, 324),
+        (260, 260, 260), (196, 196, 196),
     ]
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -57,25 +58,36 @@ def main():
     )()["params"]
     params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
-    @jax.jit
-    def fwd(params, x):
-        affs, lsds = model.apply({"params": params}, x, train=False)
-        return affs, lsds
+    # device-side scan over N_SCAN distinct random blocks with a scalar
+    # checksum: through the axon relay, blocking on large outputs does not
+    # force execution (a scalar fetch does), identical requests are deduped
+    # (inputs must differ per iteration), and per-call dispatch overhead
+    # would skew per-block times (the scan amortizes it — as pipelined
+    # blockwise inference does in production). Inputs are generated inside
+    # the scan so only one block is ever resident.
+    N_SCAN = 8
 
-    @jax.jit
-    def fwd_probe(params, x):
-        # scalar checksum output: through the axon relay, blocking on large
-        # outputs does not force execution; a scalar fetch does.
-        affs, lsds = model.apply({"params": params}, x, train=False)
-        return jnp.sum(affs.astype(jnp.float32)) + jnp.sum(lsds.astype(jnp.float32))
+    def make_scan(input_shape):
+        shape = (1,) + input_shape + (1,)
 
-    # compile + output shape (largest block that compiles wins)
+        def scanned(params, key):
+            def body(carry, k):
+                x = jax.random.uniform(k, shape, jnp.bfloat16)
+                affs, lsds = model.apply({"params": params}, x, train=False)
+                s = jnp.sum(affs.astype(jnp.float32)) + jnp.sum(
+                    lsds.astype(jnp.float32))
+                return carry + s, None
+            tot, _ = jax.lax.scan(
+                body, jnp.float32(0), jax.random.split(key, N_SCAN))
+            return tot
+
+        return jax.jit(scanned)
+
     compiled = None
     for input_shape in candidate_shapes:
-        x = jnp.zeros((1,) + input_shape + (1,), jnp.bfloat16)
         try:
-            compiled = fwd.lower(params, x).compile()
-            fwd_probe.lower(params, x).compile()
+            compiled = make_scan(input_shape).lower(
+                params, jax.random.PRNGKey(1)).compile()
             break
         except Exception as e:
             print(f"block {input_shape} failed to compile: {e}", file=sys.stderr)
@@ -83,8 +95,12 @@ def main():
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
+    # XLA counts the scan body ONCE in cost analysis -> per-block flops
     flops = float(cost.get("flops", 0.0))
-    out_shape = jax.eval_shape(fwd, params, x)[0].shape
+    x_abs = jax.ShapeDtypeStruct((1,) + input_shape + (1,), jnp.bfloat16)
+    out_shape = jax.eval_shape(
+        lambda p, x: model.apply({"params": p}, x, train=False), params, x_abs
+    )[0].shape
     out_voxels = int(np.prod(out_shape[1:-1]))
     flops_per_voxel = flops / out_voxels
     print(
@@ -93,22 +109,12 @@ def main():
         file=sys.stderr,
     )
 
-    # warm up and measure steady-state block rate (device-resident inputs;
-    # the separate blockwise IO path overlaps tensorstore reads/writes with
-    # compute, see raygun_tpu/distributed/blockwise.py).
-    # NOTE: inputs must be DISTINCT per iteration — the axon remote executor
-    # dedupes identical requests, which fakes impossible throughput.
-    n_iters = 8
-    keys = jax.random.split(jax.random.PRNGKey(1), n_iters)
-    inputs = [jax.random.uniform(k, x.shape, jnp.bfloat16) for k in keys]
-    jax.block_until_ready(inputs)
-
-    s0 = fwd_probe(params, inputs[0])
-    _ = float(s0)
-    t0 = time.perf_counter()
-    outs = [fwd_probe(params, xi) for xi in inputs]
-    _ = [float(o) for o in outs]  # fetch forces execution of every block
-    dt = (time.perf_counter() - t0) / n_iters
+    _ = float(compiled(params, jax.random.PRNGKey(2)))  # warm-up
+    dt = 1e9
+    for rep in range(2):
+        t0 = time.perf_counter()
+        _ = float(compiled(params, jax.random.PRNGKey(3 + rep)))
+        dt = min(dt, (time.perf_counter() - t0) / N_SCAN)
 
     voxels_per_sec = out_voxels / dt
     achieved_tflops = flops / dt / 1e12

@@ -262,7 +262,16 @@ class HostStreamSampler:
         min_masked: float = 0.0,
         prefetch: int = 4,
         seed: int = 0,
+        min_coefvar: float = 0.0,
+        data_name: Optional[str] = None,
+        max_rejects: int = 20,
     ):
+        # gp.RejectConstant parity on the host path (reference
+        # CycleDataPipe.py:118-131): re-draw crops whose coefficient of
+        # variation is below min_coefvar (flat resin), bounded retries
+        self.min_coefvar = float(min_coefvar)
+        self.data_name = data_name
+        self.max_rejects = int(max_rejects)
         self.volumes = volumes
         self.crop_shape = tuple(crop_shape)
         self.batch_size = batch_size
@@ -299,9 +308,20 @@ class HostStreamSampler:
             out[name] = np.asarray(fut.result())
         return out
 
+    def _sample_crop(self) -> Dict[str, np.ndarray]:
+        crop = self._read_crop(self._random_origin())
+        if self.min_coefvar and self.data_name:
+            for _ in range(self.max_rejects):
+                d = crop[self.data_name].astype(np.float64)
+                cv = d.std() / max(abs(float(d.mean())), 1e-8)
+                if cv >= self.min_coefvar:
+                    break
+                crop = self._read_crop(self._random_origin())
+        return crop
+
     def _worker(self):
         while not self._stop.is_set():
-            batch = [self._read_crop(self._random_origin()) for _ in range(self.batch_size)]
+            batch = [self._sample_crop() for _ in range(self.batch_size)]
             stacked = {
                 k: np.stack([b[k] for b in batch]) for k in batch[0]
             }

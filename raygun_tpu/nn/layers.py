@@ -259,6 +259,77 @@ def _fold_matrix(kernel_size: Sequence[int], factors: Sequence[int]) -> np.ndarr
     return M
 
 
+def _pack_matrix(kernel_size, factors, offsets) -> Tuple[np.ndarray, Tuple[int, ...]]:
+    """0/1 matrix M[t_flat, u_flat, v_flat, r_flat] for s2d-packed convs:
+    tap t contributes to coarse tap u, input phase v, output phase r iff
+    t == f*u + v - r - o per dim (o = per-dim sub-factor offset of the
+    source window)."""
+    import itertools as it
+
+    ks, fs, os_ = tuple(kernel_size), tuple(factors), tuple(offsets)
+    ntaps = tuple((k - 1 + f - 1 + o) // f + 1 for k, f, o in zip(ks, fs, os_))
+    M = np.zeros(
+        (int(np.prod(ks)), int(np.prod(ntaps)), int(np.prod(fs)), int(np.prod(fs))),
+        np.float32,
+    )
+
+    def flat(idx, dims):
+        out = 0
+        for i, d in zip(idx, dims):
+            out = out * d + i
+        return out
+
+    for u in it.product(*[range(n) for n in ntaps]):
+        for v in it.product(*[range(f) for f in fs]):
+            for r in it.product(*[range(f) for f in fs]):
+                t = tuple(
+                    f * uu + vv - rr - oo
+                    for f, uu, vv, rr, oo in zip(fs, u, v, r, os_)
+                )
+                if all(0 <= tt < k for tt, k in zip(t, ks)):
+                    M[flat(t, ks), flat(u, ntaps), flat(v, fs), flat(r, fs)] = 1.0
+    return M, ntaps
+
+
+def pack_conv_kernel_s2d(
+    kernel: Array, factors: Sequence[int], offsets: Optional[Sequence[int]] = None
+) -> Array:
+    """Pack a conv kernel for space-to-depth execution:
+    ``conv(x, W)`` at fine resolution equals ``conv(s2d(x), pack(W))`` at
+    coarse resolution with prod(f)x channels on both sides, up to
+    depth_to_space of the output — the layout that avoids the TPU's 10.8x
+    lane-padding tax on small-channel tensors (a bf16 12-channel tensor is
+    tiled T(8,128): 128/12 lanes wasted in HBM and on every read).
+
+    ``offsets``: per-dim sub-factor start of the source window inside the
+    packed grid (o = src_start % f; the caller slices the coarse grid at
+    src_start // f) — used when the source is center-cropped at an odd
+    offset (decoder skip branches).
+
+    Output kernel: ``(*ntap, prod(f)*cin, prod(f)*cout)``.
+    """
+    nd = len(factors)
+    ks = tuple(kernel.shape[:nd])
+    ci, co = kernel.shape[-2], kernel.shape[-1]
+    if offsets is None:
+        offsets = (0,) * nd
+    M, ntaps = _pack_matrix(ks, factors, offsets)
+    F = int(np.prod(factors))
+    Mj = jnp.asarray(M, kernel.dtype)
+    Wt = kernel.reshape((int(np.prod(ks)), ci, co))
+    W2 = jnp.einsum("tuvr,tcd->uvcrd", Mj, Wt)
+    return W2.reshape(ntaps + (F * ci, F * co))
+
+
+def phase_max_pool(xp: Array, factors: Sequence[int], channels: int) -> Array:
+    """Max-pool with window=stride=factors, expressed on an s2d-packed
+    tensor: a pure channel-group max (no spatial reduce) — the packed
+    equivalent of :func:`max_pool_nd` on the unpacked tensor, exact."""
+    F = int(np.prod(factors))
+    shape = xp.shape[:-1] + (F, channels)
+    return jnp.max(xp.reshape(shape), axis=-2)
+
+
 def fold_upsample_kernel(kernel: Array, factors: Sequence[int]) -> Array:
     """Fold a conv kernel across a nearest-neighbor upsample:
     ``conv(nearest_up(g, f), W) == depth_to_space(conv(g, fold(W, f)), f)``

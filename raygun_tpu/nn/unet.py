@@ -19,6 +19,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import (
@@ -38,6 +39,9 @@ from .layers import (
     make_norm,
     max_pool_nd,
     nearest_upsample,
+    pack_conv_kernel_s2d,
+    phase_max_pool,
+    space_to_depth,
 )
 
 
@@ -208,6 +212,71 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+def _packed_valid_conv(xp: Array, kernel: Array, bias, factors=(2, 2, 2),
+                       offsets=(0, 0, 0), coarse_starts=(0, 0, 0)):
+    """One valid fine-grid conv computed on an s2d-packed tensor.
+
+    ``xp``: packed source (coarse grid, prod(f)*cin channels) whose fine
+    extent is even per dim. ``kernel``: the UNPACKED (*k, cin, cout) param.
+    ``offsets``/``coarse_starts``: fine source window start = f*coarse_start
+    + offset per dim (decoder skips crop at arbitrary offsets). Returns the
+    packed output on the fine result's own phase grid; the caller slices
+    the coarse extent.
+    """
+    w2 = pack_conv_kernel_s2d(kernel, factors, offsets).astype(xp.dtype)
+    ntaps = w2.shape[:3]
+    sl = (slice(None),) + tuple(slice(s, None) for s in coarse_starts) + (slice(None),)
+    xq = xp[sl]
+    xq = jnp.pad(xq, [(0, 0)] + [(0, n - 1) for n in ntaps] + [(0, 0)])
+    y = conv3d_zdecomp(xq, w2)
+    if bias is not None:
+        F = int(np.prod(factors))
+        y = y + jnp.tile(bias, F).astype(y.dtype)
+    return y
+
+
+class PackedConvPass(nn.Module):
+    """ConvPass computed entirely in s2d-packed (f=2) layout.
+
+    Small-channel full-resolution tensors pay a ~10.8x lane-padding tax on
+    TPU (a bf16 12-channel tensor tiles to T(8,128): see the perf note in
+    ``nn/layers.py``); packing 2x2x2 fine voxels into channels makes level-0
+    tensors 96-channel at 1/8 the voxels — compact in HBM and MXU-friendly.
+    Exact same math as ConvPass (kernels re-indexed per
+    :func:`pack_conv_kernel_s2d`); params are identical (``ConvNd_i``), so
+    checkpoints swap freely between packed/unpacked execution.
+
+    Takes and returns PACKED tensors; requires even fine extents, 3D,
+    stride 1, valid padding, no norm/residual.
+    """
+
+    output_nc: int
+    kernel_sizes: Sequence[Sequence[int]]
+    activation: Union[str, Callable, None] = "relu"
+    final: bool = False
+
+    @nn.compact
+    def __call__(self, xp: Array, cin: int, train: bool = True) -> Array:
+        act = get_activation(self.activation)
+        n = len(self.kernel_sizes)
+        c = cin
+        for i, ks in enumerate(self.kernel_sizes):
+            assert tuple(ks) == (3, 3, 3), "packed path expects 3^3 kernels"
+            kernel, bias = _ConvParams(
+                tuple(ks) + (c, self.output_nc), name=f"ConvNd_{i}"
+            )()
+            coarse_in = xp.shape[1:4]
+            xp = _packed_valid_conv(xp, kernel, bias)
+            # valid fine extent = 2*coarse_in - (k-1) with k odd ->
+            # 2*(coarse_in - 1) fully-covered coarse positions
+            xp = xp[:, : coarse_in[0] - 1, : coarse_in[1] - 1,
+                    : coarse_in[2] - 1, :]
+            if not (self.final and i == n - 1):
+                xp = act(xp)
+            c = self.output_nc
+        return xp
+
+
 class FusedUpConvPass(nn.Module):
     """Nearest-upsample + crop_to_factor + skip-concat + ConvPass, with the
     upsampled branch's first conv computed at COARSE resolution.
@@ -233,9 +302,15 @@ class FusedUpConvPass(nn.Module):
     norm: Union[str, None, Callable] = None
     final: bool = False
     crop_factor: Optional[Sequence[int]] = None
+    # f_left arrives s2d-packed and the output stays packed (see
+    # PackedConvPass) — avoids ever materializing 12-channel full-res
+    # tensors in the decoder tail
+    packed_skip: bool = False
 
     @nn.compact
     def __call__(self, f_left: Array, g: Array, train: bool = True) -> Array:
+        if self.packed_skip:
+            return self._packed_call(f_left, g, train)
         act = get_activation(self.activation)
         norm_ctor = make_norm(self.norm)
         nd = len(self.scale_factor)
@@ -314,6 +389,92 @@ class FusedUpConvPass(nn.Module):
                 x = act(x)
         return x
 
+    def _packed_call(self, f_leftp: Array, g: Array, train: bool) -> Array:
+        """Decoder pass with a PACKED skip and PACKED output.
+
+        Same math as the unpacked path; the skip conv runs directly on the
+        packed f_left (crop offsets folded into the kernel via
+        ``pack_conv_kernel_s2d``'s offsets), the folded coarse conv's
+        output is phase-regrouped from the upsample grid onto the conv1
+        output's own phase grid (a pure slice + channel permute in coarse
+        space), and the remaining convs stay packed.
+        """
+        act = get_activation(self.activation)
+        factors = tuple(self.scale_factor)
+        k1 = tuple(self.kernel_sizes[0])
+        assert factors == (2, 2, 2) and k1 == (3, 3, 3), "packed path"
+        assert make_norm(self.norm) is None, "packed path has no norm"
+        cf = f_leftp.shape[-1] // 8
+        cg = g.shape[-1]
+        co = self.output_nc
+
+        kernel, bias = _ConvParams(
+            k1 + (cf + cg, co), name="ConvNd_0"
+        )()
+        kernel = kernel.astype(g.dtype)
+
+        f0_fine = tuple(2 * s for s in f_leftp.shape[1:4])
+        full_up = tuple(2 * s for s in g.shape[1:4])
+        if self.crop_factor is not None:
+            target = crop_to_factor_target(full_up, self.crop_factor, self.kernel_sizes)
+        else:
+            target = full_up
+        assert all(t % 2 == 0 for t in target), "packed path needs even extents"
+        d_lo = tuple((fu - t) // 2 for fu, t in zip(full_up, target))
+        out1 = tuple(t - 2 for t in target)
+        lq = tuple(o // 2 for o in out1)
+        cf_off = tuple((ff - t) // 2 for ff, t in zip(f0_fine, target))
+
+        # skip branch on the packed f_left
+        t1p = _packed_valid_conv(
+            f_leftp, kernel[..., :cf, :], None,
+            offsets=tuple(o % 2 for o in cf_off),
+            coarse_starts=tuple(o // 2 for o in cf_off),
+        )
+        t1p = t1p[:, : lq[0], : lq[1], : lq[2], :]
+
+        # upsampled branch: folded coarse conv (output packed on the
+        # upsample grid), then regroup onto conv1's phase grid
+        w_g = fold_upsample_kernel(kernel[..., cf:, :], factors)
+        ntaps = w_g.shape[:3]
+        g_pad = jnp.pad(g, [(0, 0)] + [(0, n - 1) for n in ntaps] + [(0, 0)])
+        y2 = conv3d_zdecomp(g_pad, w_g)
+        groups = []
+        import itertools as _it
+
+        for r in _it.product((0, 1), repeat=3):
+            starts = tuple((d + rr) // 2 for d, rr in zip(d_lo, r))
+            ph = tuple((d + rr) % 2 for d, rr in zip(d_lo, r))
+            phflat = (ph[0] * 2 + ph[1]) * 2 + ph[2]
+            groups.append(
+                y2[:, starts[0]: starts[0] + lq[0],
+                   starts[1]: starts[1] + lq[1],
+                   starts[2]: starts[2] + lq[2],
+                   phflat * co: (phflat + 1) * co]
+            )
+        t2p = jnp.concatenate(groups, axis=-1)
+
+        x = t1p + t2p
+        if bias is not None:
+            x = x + jnp.tile(bias, 8).astype(x.dtype)
+        n = len(self.kernel_sizes)
+        if not (self.final and n == 1):
+            x = act(x)
+
+        c = co
+        for i, ks in enumerate(self.kernel_sizes[1:], start=1):
+            assert tuple(ks) == (3, 3, 3), "packed path expects 3^3 kernels"
+            kernel_i, bias_i = _ConvParams(
+                tuple(ks) + (c, co), name=f"ConvNd_{i}"
+            )()
+            coarse_in = x.shape[1:4]
+            x = _packed_valid_conv(x, kernel_i.astype(x.dtype), bias_i)
+            x = x[:, : coarse_in[0] - 1, : coarse_in[1] - 1,
+                  : coarse_in[2] - 1, :]
+            if not (self.final and i == n - 1):
+                x = act(x)
+        return x
+
 
 def _unet_defaults(ndims, num_levels, kernel_size_down, kernel_size_up):
     if kernel_size_down is None:
@@ -324,6 +485,69 @@ def _unet_defaults(ndims, num_levels, kernel_size_down, kernel_size_up):
         [[tuple(k) for k in level] for level in kernel_size_down],
         [[tuple(k) for k in level] for level in kernel_size_up],
     )
+
+
+def packed_level0_active(unet_kwargs: dict, spatial_shape: Sequence[int]) -> bool:
+    """Whether the UNet will run its level-0 stages in s2d-packed layout
+    for this config + input shape. MTLSDModel uses the same predicate to
+    keep its 1x1x1 heads packed (one depth_to_space at the very end)."""
+    dsf = [tuple(f) for f in unet_kwargs["downsample_factors"]]
+    ndims = len(dsf[0])
+    if ndims != 3 or len(spatial_shape) != 3:
+        return False
+    if not unet_kwargs.get("constant_upsample", False):
+        return False
+    if unet_kwargs.get("padding_type", "valid").lower() != "valid":
+        return False
+    if unet_kwargs.get("residual", False):
+        return False
+    if not unet_kwargs.get("fuse_upsample", True):
+        return False
+    if not unet_kwargs.get("pack_level0", True):
+        return False
+    if make_norm(unet_kwargs.get("norm")) is not None:
+        return False
+    if dsf[0] != (2, 2, 2):
+        return False
+    ks_down, ks_up = _unet_defaults(
+        3, len(dsf) + 1,
+        unet_kwargs.get("kernel_size_down"), unet_kwargs.get("kernel_size_up"),
+    )
+    if any(tuple(k) != (3, 3, 3) for k in ks_down[0]):
+        return False
+    if any(tuple(k) != (3, 3, 3) for k in ks_up[0]):
+        return False
+    if any(int(s) % 2 for s in spatial_shape):
+        return False
+    return True
+
+
+class PackedHead(nn.Module):
+    """1x1x1 conv head applied in s2d-packed layout (+ activation +
+    depth_to_space). Param-identical to ``ConvPass(kernel_sizes=[(1,1,1)])``
+    (``ConvNd_0/kernel`` of shape (1,1,1,cin,cout))."""
+
+    output_nc: int
+    cin: int
+    activation: Union[str, Callable, None] = "sigmoid"
+
+    @nn.compact
+    def __call__(self, zp: Array, train: bool = True) -> Array:
+        kernel, bias = _ConvParams(
+            (1, 1, 1, self.cin, self.output_nc), name="ConvNd_0"
+        )()
+        act = get_activation(self.activation)
+        b = zp.shape[0]
+        sp = zp.shape[1:4]
+        z = zp.reshape((b,) + sp + (8, self.cin))
+        y = jnp.einsum(
+            "...rc,cd->...rd", z, kernel[0, 0, 0].astype(zp.dtype)
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        y = act(y)
+        y = y.reshape((b,) + sp + (8 * self.output_nc,))
+        return depth_to_space(y, (2, 2, 2))
 
 
 def _crop_factors(downsample_factors, padding_type):
@@ -364,6 +588,8 @@ class UNet(nn.Module):
     norm: Union[str, None, Callable] = None
     add_noise: Union[bool, str] = False
     fuse_upsample: bool = True  # fold constant-upsample into the next conv
+    pack_level0: bool = True  # run level-0 stages in s2d-packed layout
+    return_packed_level0: bool = False  # skip the final depth_to_space
 
     @property
     def ndims(self) -> int:
@@ -372,6 +598,19 @@ class UNet(nn.Module):
     @property
     def num_levels(self) -> int:
         return len(self.downsample_factors) + 1
+
+    def _kwargs_dict(self):
+        return dict(
+            downsample_factors=self.downsample_factors,
+            kernel_size_down=self.kernel_size_down,
+            kernel_size_up=self.kernel_size_up,
+            constant_upsample=self.constant_upsample,
+            padding_type=self.padding_type,
+            residual=self.residual,
+            norm=self.norm,
+            fuse_upsample=self.fuse_upsample,
+            pack_level0=self.pack_level0,
+        )
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
@@ -382,6 +621,11 @@ class UNet(nn.Module):
         )
         crop_factors = _crop_factors(self.downsample_factors, self.padding_type)
         is_max = self.downsample_method.lower() == "max"
+        use_packed0 = (
+            is_max
+            and (num_levels > 1 or not self.add_noise)
+            and packed_level0_active(self._kwargs_dict(), x.shape[1:-1])
+        )
 
         def level_fmaps(level):
             return self.ngf * self.fmap_inc_factor**level
@@ -392,6 +636,21 @@ class UNet(nn.Module):
         for i, level in enumerate(range(num_levels - 1, -1, -1)):
             # i indexes the module arrays (top-down); level counts down to 0
             depth = num_levels - 1 - level  # 0 at top
+            if depth == 0 and use_packed0:
+                # level-0 stem + pool in s2d-packed layout (see
+                # PackedConvPass): the pooled p0 never materializes the
+                # lane-padded 12-channel full-res tensor
+                h = space_to_depth(h, (2, 2, 2))
+                h = PackedConvPass(
+                    output_nc=level_fmaps(0),
+                    kernel_sizes=ks_down[0],
+                    activation=self.activation,
+                    name="l_conv_0",
+                )(h, cin=x.shape[-1], train=train)
+                if level > 0:
+                    f_lefts.append(h)  # PACKED skip
+                    h = phase_max_pool(h, (2, 2, 2), level_fmaps(0))
+                continue
             h = ConvPass(
                 output_nc=level_fmaps(depth),
                 kernel_sizes=ks_down[depth],
@@ -446,6 +705,7 @@ class UNet(nn.Module):
                         activation=self.activation,
                         norm=self.norm,
                         crop_factor=crop_factors[depth],
+                        packed_skip=(depth == 0 and use_packed0),
                         name=f"r_conv_{head}_{depth}",
                     )(f_left, heads[head], train=train)
                 else:
@@ -469,6 +729,8 @@ class UNet(nn.Module):
                 new_heads.append(g)
             heads = new_heads
 
+        if use_packed0 and not self.return_packed_level0:
+            heads = [depth_to_space(hh, (2, 2, 2)) for hh in heads]
         if self.num_heads == 1:
             return heads[0]
         return heads

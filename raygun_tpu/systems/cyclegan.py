@@ -233,6 +233,8 @@ class CycleGAN(BaseSystem):
         CycleDataPipe capability: normalize → resample to common voxel size →
         reject → elastic+simple augment → scale to [-1, 1])."""
         self.samplers = {}
+        self.host_samplers = {}
+        self.stream_mode = bool(getattr(self, "stream", False))
         self.elastic_kwargs = {
             # gunpowder hardcoded params (reference CycleDataPipe.py:139-150)
             "control_point_spacing": (25,) * self.ndims,
@@ -247,6 +249,42 @@ class CycleGAN(BaseSystem):
         for side in ("A", "B"):
             src = self.sources[side]
             vol = open_ds(src["path"], src["name"])
+            if self.stream_mode:
+                # host-streaming (`stream: true`): crops come off a
+                # tensorstore prefetch thread; volumes never materialize
+                # (reference PreCache capability, BaseTrain.py:94-97)
+                factor = tuple(
+                    v / c for v, c in zip(vol.voxel_size, self.common_voxel_size)
+                )
+                if any(abs(f - 1) > 1e-6 for f in factor):
+                    raise ValueError(
+                        "stream: true requires sources already at "
+                        "common_voxel_size (host-side whole-volume resample "
+                        "would defeat streaming); resample offline or "
+                        "disable streaming"
+                    )
+                if self.ndims < len(self.common_voxel_size):
+                    crop_shape = (1,) * (
+                        len(self.common_voxel_size) - self.ndims) + crop_len
+                else:
+                    crop_shape = crop_len
+                from ..io.sampler import HostStreamSampler
+
+                vols = {"real": vol}
+                mask_name = src.get("mask_name")
+                if mask_name:
+                    vols["mask"] = open_ds(src["path"], mask_name)
+                sk = dict(self.stream_kwargs or {})
+                self.host_samplers[side] = HostStreamSampler(
+                    vols, crop_shape, self.batch_size,
+                    mask_name="mask" if mask_name else None,
+                    min_masked=0.999 if mask_name else 0.0,
+                    min_coefvar=float(src.get("min_coefvar") or 0.0),
+                    data_name="real",
+                    prefetch=int(sk.get("prefetch", 4)),
+                    seed=int(self.random_seed or 0) + (0 if side == "A" else 1),
+                )
+                continue
             data = vol.read()
             arrays = {"real": data}
             mask_name = src.get("mask_name")
@@ -293,21 +331,27 @@ class CycleGAN(BaseSystem):
             )
 
     def _sample_side(self, side: str, key) -> jax.Array:
-        ks = jax.random.split(key, 3)
+        ks = jax.random.split(key, 2)
         crop = self.samplers[side].sample(ks[0])["real"]
+        return self._augment_side(ks[1], crop)
+
+    def _augment_side(self, key, crop) -> jax.Array:
+        """Augment graph for one raw crop — shared by the device sampler
+        path and the host-streaming path (``stream: true``)."""
+        ks = jax.random.split(key, 2)
         extra = crop.ndim - self.ndims
         if extra:  # drop leading singleton z for 2D-in-3D mode
             crop = crop.reshape(crop.shape[extra:])
         raw = normalize(crop)
         target = (self.side_length,) * self.ndims
         coords = elastic_coordinates(
-            ks[1], raw.shape, target,
+            ks[0], raw.shape, target,
             self.elastic_kwargs["control_point_spacing"],
             self.elastic_kwargs["jitter_sigma"],
             subsample=self.elastic_kwargs["subsample"],
         )
         raw = warp(raw, coords, order=1)
-        raw = simple_augment({"x": raw}, ks[2], ndims=self.ndims)["x"]
+        raw = simple_augment({"x": raw}, ks[1], ndims=self.ndims)["x"]
         return intensity_scale_shift(raw, 2, -1)[..., None]
 
     def make_batch(self, key) -> Dict[str, jax.Array]:
@@ -416,16 +460,70 @@ class CycleGAN(BaseSystem):
         metrics["Total_Loss/D2"] = loss_D2
         return loss_D1 + loss_D2, metrics
 
+    def _batch_from_crops(self, key, crops_A, crops_B) -> Dict[str, jax.Array]:
+        """Build an augmented batch from host-streamed crops (stream mode)."""
+        kA, kB = jax.random.split(key)
+        batch = {
+            "real_A": jax.vmap(self._augment_side)(
+                jax.random.split(kA, self.batch_size), crops_A),
+            "real_B": jax.vmap(self._augment_side)(
+                jax.random.split(kB, self.batch_size), crops_B),
+        }
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P("data"))
+                ),
+                batch,
+            )
+        return batch
+
+    def _next_host_crops(self):
+        crops = (self.host_samplers["A"].next()["real"],
+                 self.host_samplers["B"].next()["real"])
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            return tuple(jax.device_put(c, sh) for c in crops)
+        return tuple(jnp.asarray(c) for c in crops)
+
     def make_train_step(self, norm_train: bool = True):
         """norm_train=False freezes norm statistics (the reference's
         ``freeze_norms_at`` / ``fix_norms`` mode, FreezableModel.py:30-32):
         a second compiled step variant the Trainer switches to."""
-        split = self.split
-        d_tx = self.d_tx
+        apply_update = self._make_gan_update(norm_train)
+
+        if self.stream_mode:
+            @partial(jax.jit, donate_argnums=0)
+            def stream_step(state: TrainState, key, crops_A, crops_B):
+                return apply_update(
+                    state, self._batch_from_crops(key, crops_A, crops_B)
+                )
+
+            def step_fn(state, key):
+                crops_A, crops_B = self._next_host_crops()
+                return stream_step(state, key, crops_A, crops_B)
+
+            return step_fn
 
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
-            batch = self.make_batch(key)
+            return apply_update(state, self.make_batch(key))
+
+        return train_step
+
+    def _make_gan_update(self, norm_train: bool):
+        """The 3-phase GAN update on an already-built batch (shared by the
+        device-sampled and host-streamed steps)."""
+        split = self.split
+        d_tx = self.d_tx
+
+        def apply_update(state: TrainState, batch):
             real_A, real_B = batch["real_A"], batch["real_B"]
             # crop reals to generator-output size for the loss
             # (reference LinkCycleLoss.forward crop, done inside _g_losses)
@@ -488,12 +586,10 @@ class CycleGAN(BaseSystem):
                 metrics,
             )
 
-        return train_step
+        return apply_update
 
     def make_snapshot_fn(self):
-        @jax.jit
-        def snapshot_fn(state, key):
-            batch = self.make_batch(key)
+        def predict_on(state, batch):
             g_params = {"G1": state.params["G1"], "G2": state.params["G2"]}
             fake_B, fake_A, cycled_A, cycled_B = self._forward_cycle(
                 g_params, batch["real_A"], batch["real_B"], self.split, train=False
@@ -503,6 +599,23 @@ class CycleGAN(BaseSystem):
                 "fake_A": fake_A, "fake_B": fake_B,
                 "cycled_A": cycled_A, "cycled_B": cycled_B,
             }
+
+        if self.stream_mode:
+            @jax.jit
+            def stream_snapshot(state, key, crops_A, crops_B):
+                return predict_on(
+                    state, self._batch_from_crops(key, crops_A, crops_B)
+                )
+
+            def snapshot_fn(state, key):
+                crops_A, crops_B = self._next_host_crops()
+                return stream_snapshot(state, key, crops_A, crops_B)
+
+            return snapshot_fn
+
+        @jax.jit
+        def snapshot_fn(state, key):
+            return predict_on(state, self.make_batch(key))
 
         return snapshot_fn
 

@@ -59,8 +59,37 @@ class MTLSDModel(nn.Module):
 
     @nn.compact
     def __call__(self, raw, train: bool = True):
-        z = UNet(**self.unet_kwargs, name="unet")(raw, train=train)
         ndims = len(self.unet_kwargs["downsample_factors"][0])
+        # when the UNet runs level-0 in s2d-packed layout, keep the heads
+        # packed too: one depth_to_space at the very end instead of three
+        # lane-padded full-res tensors (see nn/unet.py PackedConvPass)
+        from ..nn.unet import PackedHead, packed_level0_active
+
+        use_packed = (
+            self.unet_kwargs.get("downsample_method", "max").lower() == "max"
+            and packed_level0_active(
+                dict(self.unet_kwargs), raw.shape[1:1 + ndims]
+            )
+        )
+        unet = UNet(
+            **self.unet_kwargs, name="unet",
+            return_packed_level0=use_packed,
+        )
+        z = unet(raw, train=train)
+        if use_packed:
+            zc = z.shape[-1] // 8
+            affs = PackedHead(
+                output_nc=self.num_affs, cin=zc, activation="sigmoid",
+                name="aff_head",
+            )(z, train=train)
+            if self.num_lsds > 0:
+                lsds = PackedHead(
+                    output_nc=self.num_lsds, cin=zc, activation="sigmoid",
+                    name="lsd_head",
+                )(z, train=train)
+            else:
+                lsds = affs[..., :0]
+            return affs, lsds
         affs = ConvPass(
             output_nc=self.num_affs, kernel_sizes=[(1,) * ndims],
             activation="sigmoid", name="aff_head",
@@ -212,18 +241,21 @@ class MTLSD(BaseSystem):
         if isinstance(srcs, dict):
             srcs = [srcs]
         assert len(srcs) >= 1, "MTLSD needs at least one source"
+        # host-streaming mode (`stream: true`) must not materialize volumes
+        self.stream_mode = bool(getattr(self, "stream", False))
         sources = []
-        for src in srcs:
-            arrays = {}
-            for name in ("raw", "labels", "labels_mask", "cell_mask"):
-                if name in src:
-                    vol = open_ds(src["path"], src[name])
-                    data = vol.read()
-                    if name == "labels":
-                        data = data.astype(np.int32)  # device labels are int32
-                    arrays[name] = data
-            sources.append(arrays)
-        self.source_arrays = sources[0]
+        if not self.stream_mode:
+            for src in srcs:
+                arrays = {}
+                for name in ("raw", "labels", "labels_mask", "cell_mask"):
+                    if name in src:
+                        vol = open_ds(src["path"], src[name])
+                        data = vol.read()
+                        if name == "labels":
+                            data = data.astype(np.int32)  # device labels are int32
+                        arrays[name] = data
+                sources.append(arrays)
+            self.source_arrays = sources[0]
 
         # read crop = input_shape + elastic margin. Config tuples may be
         # given per-isotropic-axis (len == ndims); pad LEADING (coarse,
@@ -241,6 +273,30 @@ class MTLSD(BaseSystem):
         crop_shape = tuple(i + 2 * m for i, m in zip(self.input_shape, self.margin))
 
         rl = self.random_location_kwargs or {}
+
+        # host-streaming mode (config `stream: true`): crops are read
+        # through tensorstore on a prefetch thread instead of living
+        # device-resident — volumes larger than HBM train without change
+        # elsewhere (reference PreCache capability, ``BaseTrain.py:94-97``)
+        if self.stream_mode:
+            from ..io.sampler import HostStreamSampler
+
+            assert len(srcs) == 1, "stream: true supports a single source"
+            vols = {}
+            for name in ("raw", "labels", "labels_mask", "cell_mask"):
+                if name in srcs[0]:
+                    vols[name] = open_ds(srcs[0]["path"], srcs[0][name])
+            sk = dict(self.stream_kwargs or {})
+            self.host_sampler = HostStreamSampler(
+                vols, crop_shape, self.batch_size,
+                mask_name="cell_mask" if "cell_mask" in vols else None,
+                min_masked=rl.get("min_masked", 0.0),
+                prefetch=int(sk.get("prefetch", 4)),
+                seed=int(self.random_seed or 0),
+            )
+            self.sampler = None
+            return
+
         mask_name = "cell_mask" if "cell_mask" in sources[0] else None
         # under a mesh, source volumes live replicated in every chip's HBM
         # so the per-device sampling partitions cleanly
@@ -266,8 +322,15 @@ class MTLSD(BaseSystem):
     def _make_sample(self, key) -> Dict[str, jax.Array]:
         """One training example: crop → augment → targets. Pure; vmapped over
         the batch inside the jitted step."""
-        ks = jax.random.split(key, 5)
+        ks = jax.random.split(key, 2)
         crops = self.sampler.sample(ks[0])
+        return self._augment_targets(ks[1], crops)
+
+    def _augment_targets(self, key, crops) -> Dict[str, jax.Array]:
+        """Augment graph + target computation for one crop dict — shared by
+        the device-resident sampler path and the host-streaming path
+        (``stream: true``), which feeds crops read by HostStreamSampler."""
+        ks = jax.random.split(key, 5)
         raw = normalize(crops["raw"])
         labels = crops["labels"]
         lmask = crops.get("labels_mask", jnp.ones_like(labels))
@@ -351,15 +414,71 @@ class MTLSD(BaseSystem):
             )
         return batch
 
+    # -- host-streamed batches -------------------------------------------
+    def _next_host_batch(self):
+        """Fetch one prefetched numpy batch from the HostStreamSampler and
+        place it on device (sharded over the mesh's data axis if any)."""
+        crops = self.host_sampler.next()
+        out = {}
+        for k, v in crops.items():
+            if k == "labels":
+                v = v.astype(np.int32)
+            out[k] = v
+        mesh = self.get_mesh()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            return {k: jax.device_put(v, sh) for k, v in out.items()}
+        return {k: jnp.asarray(v) for k, v in out.items()}
+
     # -- train step --------------------------------------------------------
     def make_train_step(self):
         model, tx = self.model, self.tx
         use_lsds = bool(self.lsd_kwargs)
         use_bn = bool(self.batch_stats)
 
+        if self.stream_mode:
+            inner = self._make_apply_update()
+
+            @partial(jax.jit, donate_argnums=0)
+            def stream_step(state: TrainState, key, crops):
+                keys = jax.random.split(key, self.batch_size)
+                batch = jax.vmap(self._augment_targets)(keys, crops)
+                mesh = self.get_mesh()
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, NamedSharding(mesh, P("data"))
+                        ),
+                        batch,
+                    )
+                return inner(state, batch)
+
+            def step_fn(state, key):
+                crops = self._next_host_batch()
+                return stream_step(state, key, crops)
+
+            return step_fn
+
+        inner = self._make_apply_update()
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
             batch = self.make_batch(key)
+            return inner(state, batch)
+
+        return train_step
+
+    def _make_apply_update(self):
+        """Shared fwd/bwd/optimizer update on an already-built batch."""
+        model, tx = self.model, self.tx
+        use_lsds = bool(self.lsd_kwargs)
+        use_bn = bool(self.batch_stats)
+
+        def apply_update(state: TrainState, batch):
 
             def loss_fn(params, stats):
                 variables = {"params": params}
@@ -395,14 +514,12 @@ class MTLSD(BaseSystem):
             )
             return new_state, {"loss": loss, **metrics}
 
-        return train_step
+        return apply_update
 
     def make_snapshot_fn(self):
         model = self.model
 
-        @jax.jit
-        def snapshot_fn(state, key):
-            batch = self.make_batch(key)
+        def predict_on(state, batch):
             variables = {"params": state.params}
             if state.extra.get("batch_stats"):
                 variables["batch_stats"] = state.extra["batch_stats"]
@@ -412,6 +529,22 @@ class MTLSD(BaseSystem):
             if bool(self.lsd_kwargs):
                 out["pred_lsds"] = lsds
             return out
+
+        if self.stream_mode:
+            @jax.jit
+            def stream_snapshot(state, key, crops):
+                keys = jax.random.split(key, self.batch_size)
+                batch = jax.vmap(self._augment_targets)(keys, crops)
+                return predict_on(state, batch)
+
+            def snapshot_fn(state, key):
+                return stream_snapshot(state, key, self._next_host_batch())
+
+            return snapshot_fn
+
+        @jax.jit
+        def snapshot_fn(state, key):
+            return predict_on(state, self.make_batch(key))
 
         return snapshot_fn
 

@@ -129,3 +129,76 @@ def test_unet_fused_gradients_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_packed_level0_matches_unpacked_unet():
+    """s2d-packed level-0 execution == unpacked, same params."""
+    kwargs = dict(
+        input_nc=1, ngf=3, fmap_inc_factor=2,
+        downsample_factors=[(2, 2, 2), (2, 2, 2)],
+        constant_upsample=True, padding_type="valid",
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 52, 52, 52, 1)).astype(np.float32)
+    )
+    packed = UNet(**kwargs, pack_level0=True)
+    plain = UNet(**kwargs, pack_level0=False)
+    params = packed.init(jax.random.PRNGKey(0), x)["params"]
+    y_packed = packed.apply({"params": params}, x)
+    y_plain = plain.apply({"params": params}, x)
+    assert y_packed.shape == y_plain.shape
+    np.testing.assert_allclose(
+        np.asarray(y_packed), np.asarray(y_plain), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_packed_level0_odd_extent_falls_back():
+    from raygun_tpu.nn.unet import packed_level0_active
+
+    kwargs = dict(
+        downsample_factors=[(2, 2, 2)], constant_upsample=True,
+    )
+    assert packed_level0_active(kwargs, (52, 52, 52))
+    assert not packed_level0_active(kwargs, (51, 52, 52))
+    assert not packed_level0_active({**kwargs, "norm": "instance"}, (52,) * 3)
+    assert not packed_level0_active(
+        {**kwargs, "downsample_factors": [(1, 2, 2)]}, (52,) * 3)
+
+
+def test_packed_mtlsd_heads_match_unpacked():
+    from raygun_tpu.systems.mtlsd import MTLSDModel
+
+    base = dict(input_nc=1, ngf=2, fmap_inc_factor=3,
+                downsample_factors=[(2, 2, 2)], constant_upsample=True)
+    m_packed = MTLSDModel(unet_kwargs=base, num_affs=4, num_lsds=3)
+    m_plain = MTLSDModel(unet_kwargs={**base, "pack_level0": False},
+                         num_affs=4, num_lsds=3)
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(1, 36, 36, 36, 1)).astype(np.float32)
+    )
+    params = m_packed.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    a_p, l_p = m_packed.apply({"params": params}, x, train=False)
+    a_u, l_u = m_plain.apply({"params": params}, x, train=False)
+    assert a_p.shape == a_u.shape and l_p.shape == l_u.shape
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_u), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_u), atol=2e-5)
+
+
+def test_packed_level0_gradients_flow():
+    kwargs = dict(
+        input_nc=1, ngf=2, fmap_inc_factor=2,
+        downsample_factors=[(2, 2, 2)], constant_upsample=True,
+    )
+    net = UNet(**kwargs)
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(1, 24, 24, 24, 1)).astype(np.float32)
+    )
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        return jnp.sum(net.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0

@@ -1,0 +1,170 @@
+"""`stream: true` trains MTLSD through the HostStreamSampler path
+(reference PreCache capability, BaseTrain.py:94-97) — crops come off a
+prefetch thread via tensorstore instead of device-resident volumes."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from raygun_tpu.core.roi import Roi
+from raygun_tpu.io.volume import prepare_ds
+from raygun_tpu.systems.mtlsd import MTLSD
+
+
+@pytest.fixture
+def synthetic_source(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 48
+    labels = np.zeros((n, n, n), np.uint64)
+    labels[:, : n // 2] = 1
+    labels[:, n // 2:] = 2
+    raw = (labels * 100 + rng.integers(0, 50, labels.shape)).astype(np.uint8)
+    path = str(tmp_path / "train.zarr")
+    roi = Roi((0, 0, 0), (n, n, n))
+    prepare_ds(path, "raw", roi, (1, 1, 1), np.uint8).write(roi, raw)
+    prepare_ds(path, "labels", roi, (1, 1, 1), np.uint64).write(roi, labels)
+    return path
+
+
+def _config(path, stream):
+    return {
+        "system": "MTLSD",
+        "sources": [{"path": path, "raw": "raw", "labels": "labels"}],
+        "voxel_size": [1, 1, 1],
+        "input_shape": [20, 20, 20],
+        "output_shape": [4, 4, 4],
+        "batch_size": 2,
+        "num_affs": 3,
+        "neighborhood": [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        "n_diagonals": 0,
+        "lsd_kwargs": None,
+        "elastic_aug1_kwargs": None,
+        "elastic_aug2_kwargs": None,
+        "intensity_aug_kwargs": None,
+        "model_kwargs": {
+            "unet_kwargs": {
+                "input_nc": 1, "ngf": 2, "fmap_inc_factor": 2,
+                "downsample_factors": [[2, 2, 2]],
+                "constant_upsample": True,
+            },
+            "num_affs": 3,
+        },
+        "max_iterations": 2,
+        "stream": stream,
+        "stream_kwargs": {"prefetch": 2},
+    }
+
+
+def test_stream_mode_trains(synthetic_source, tmp_path):
+    cfg = _config(synthetic_source, stream=True)
+    cfg["working_dir"] = str(tmp_path)
+    system = MTLSD(cfg)
+    system.build_system()
+    assert system.stream_mode and system.host_sampler is not None
+    step_fn = system.make_train_step()
+    state = system.state
+    losses = []
+    for i in range(2):
+        state, metrics = step_fn(state, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    system.host_sampler.stop()
+
+
+def test_stream_snapshot(synthetic_source, tmp_path):
+    cfg = _config(synthetic_source, stream=True)
+    cfg["working_dir"] = str(tmp_path)
+    system = MTLSD(cfg)
+    system.build_system()
+    snap = system.make_snapshot_fn()
+    out = snap(system.state, jax.random.PRNGKey(0))
+    assert out["pred_affs"].shape[0] == 2
+    assert np.isfinite(np.asarray(out["pred_affs"])).all()
+    system.host_sampler.stop()
+
+
+def test_cyclegan_stream_mode(tmp_path):
+    """stream: true trains CycleGAN from host-streamed crops (sources
+    already at common voxel size)."""
+    from raygun_tpu.io import make_cyclegan_dataset
+    from raygun_tpu.systems.cyclegan import CycleGAN
+
+    src = make_cyclegan_dataset(
+        str(tmp_path / "data.zarr"), shape=(96, 96),
+        voxel_size_a=(90, 90), voxel_size_b=(90, 90),
+    )
+    cfg = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": src["path"], "name": src["A"]},
+            "B": {"path": src["path"], "name": src["B"], "min_coefvar": 0.0},
+        },
+        "common_voxel_size": [90, 90],
+        "ndims": 2,
+        "side_length": 32,
+        "batch_size": 2,
+        "loss_type": "link",
+        "gnet_type": "resnet",
+        "gnet_kwargs": {
+            "input_nc": 1, "output_nc": 1, "ngf": 4, "n_blocks": 1,
+            "n_downsampling": 1, "padding_type": "same",
+            "final_activation": "tanh",
+        },
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "d_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "model_path": str(tmp_path / "models") + "/",
+        "stream": True,
+        "stream_kwargs": {"prefetch": 2},
+    }
+    system = CycleGAN(cfg)
+    system.build_system()
+    assert system.stream_mode and set(system.host_samplers) == {"A", "B"}
+    step_fn = system.make_train_step()
+    state = system.state
+    for i in range(2):
+        state, metrics = step_fn(state, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    for s in system.host_samplers.values():
+        s.stop()
+
+
+def test_cyclegan_stream_rejects_resample(tmp_path):
+    from raygun_tpu.io import make_cyclegan_dataset
+    from raygun_tpu.systems.cyclegan import CycleGAN
+
+    src = make_cyclegan_dataset(
+        str(tmp_path / "data.zarr"), shape=(96, 96),
+        voxel_size_a=(45, 45), voxel_size_b=(90, 90),
+    )
+    cfg = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": src["path"], "name": src["A"]},
+            "B": {"path": src["path"], "name": src["B"]},
+        },
+        "common_voxel_size": [90, 90],
+        "ndims": 2,
+        "side_length": 32,
+        "batch_size": 1,
+        "loss_type": "link",
+        "gnet_type": "resnet",
+        "gnet_kwargs": {
+            "input_nc": 1, "output_nc": 1, "ngf": 4, "n_blocks": 1,
+            "n_downsampling": 1, "padding_type": "same",
+            "final_activation": "tanh",
+        },
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4},
+        "d_optim_kwargs": {"lr": 1e-4},
+        "model_path": str(tmp_path / "models") + "/",
+        "stream": True,
+    }
+    system = CycleGAN(cfg)
+    with pytest.raises(ValueError, match="common_voxel_size"):
+        system.build_system()
