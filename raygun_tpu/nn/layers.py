@@ -183,6 +183,32 @@ def conv_nd(x: Array, kernel: Array, strides=None, padding="VALID",
     )
 
 
+def conv2d_s2d(x: Array, kernel: Array, precision=None) -> Array:
+    """VALID stride-1 2D conv via space-to-depth packing: small-channel 2D
+    tensors pay the same TPU lane-padding tax as 3D ones (a 1-channel bf16
+    tensor tiles to 128 lanes); packing 2x2 fine pixels into channels turns
+    a k^2 conv over C channels into an ntap^2 conv over 4C channels (exact,
+    kernel re-indexed by :func:`pack_conv_kernel_s2d`). Used for the
+    CycleGAN generator stem/final convs (1<->64 channels at full res)."""
+    Ny, Nx = x.shape[1], x.shape[2]
+    ky, kx = kernel.shape[0], kernel.shape[1]
+    out_y, out_x = Ny - ky + 1, Nx - kx + 1
+    # even extents required; pad high side (outputs beyond are sliced off)
+    pad = [(0, Ny % 2), (0, Nx % 2)]
+    if any(p != (0, 0) for p in pad):
+        x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
+    xp = space_to_depth(x, (2, 2))
+    w2 = pack_conv_kernel_s2d(kernel, (2, 2)).astype(x.dtype)
+    nt = w2.shape[:2]
+    xp = jnp.pad(xp, [(0, 0), (0, nt[0] - 1), (0, nt[1] - 1), (0, 0)])
+    y = jax.lax.conv_general_dilated(
+        xp, w2, (1, 1), "VALID", dimension_numbers=conv_dimension_numbers_nd(2),
+        precision=precision,
+    )
+    y = depth_to_space(y, (2, 2))
+    return y[:, :out_y, :out_x, :]
+
+
 def conv3d_zdecomp(x: Array, kernel: Array, precision=None) -> Array:
     """VALID stride-1 3D conv as a sum of 2D convs over z-taps, z folded
     into the batch dim — the fast path for small-channel 3D convs on TPU
@@ -330,6 +356,88 @@ def phase_max_pool(xp: Array, factors: Sequence[int], channels: int) -> Array:
     return jnp.max(xp.reshape(shape), axis=-2)
 
 
+def conv_stride2_s2d(x: Array, kernel: Array, precision=None) -> Array:
+    """Stride-2 valid conv via s2d packing: the stride-2 outputs are the
+    even-phase outputs of the packed stride-1 conv, i.e. the r=0 channel
+    group of :func:`pack_conv_kernel_s2d`'s kernel — one coarse conv with
+    4x/8x input channels and NO depth_to_space (output is naturally at the
+    strided resolution). Exact; K/N dims are MXU-friendly where the native
+    strided lowering is not (CycleGAN down convs)."""
+    nd = x.ndim - 2
+    co = kernel.shape[-1]
+    fine = x.shape[1:-1]
+    out = tuple((s - k) // 2 + 1 for s, k in zip(fine, kernel.shape[:nd]))
+    pad = [(0, s % 2) for s in fine]
+    if any(p != (0, 0) for p in pad):
+        x = jnp.pad(x, [(0, 0)] + pad + [(0, 0)])
+    xp = space_to_depth(x, (2,) * nd)
+    w2 = pack_conv_kernel_s2d(kernel, (2,) * nd)[..., :co].astype(x.dtype)
+    nt = w2.shape[:nd]
+    xp = jnp.pad(xp, [(0, 0)] + [(0, n - 1) for n in nt] + [(0, 0)])
+    y = jax.lax.conv_general_dilated(
+        xp, w2, (1,) * nd, "VALID",
+        dimension_numbers=conv_dimension_numbers_nd(nd), precision=precision,
+    )
+    return y[(slice(None),) + tuple(slice(0, o) for o in out) + (slice(None),)]
+
+
+def _pack_conv_transpose_matrix(k: int) -> np.ndarray:
+    """Per-dim 0/1 matrix M[t, u, r] for the stride-2, pad-1, outpad-1
+    transposed conv subpixel decomposition (flax ConvTranspose orientation,
+    unflipped kernel): output phase r at coarse tap u uses kernel tap t iff
+    t == 2u + 1 - r (in range)."""
+    M = np.zeros((k, 2, 2), np.float32)
+    for r in range(2):
+        for u in range(2):
+            t = 2 * u + 1 - r
+            if 0 <= t < k:
+                M[t, u, r] = 1.0
+    return M
+
+
+def conv_transpose_s2_subpixel(x: Array, kernel: Array, precision=None) -> Array:
+    """Transposed conv (kernel 3, stride 2, padding 1, output_padding 1 —
+    the CycleGAN/ResNet upsampler) as per-phase coarse convs + depth_to_
+    space, instead of XLA's zero-dilated lowering (which wastes 1-1/2^nd of
+    the MACs on inserted zeros). ``kernel``: flax ConvTranspose layout
+    (*k, cin, cout). Output extent = 2x input per spatial dim. Exact
+    (parity-tested against the nn.ConvTranspose + crop path)."""
+    import itertools as it
+
+    nd = x.ndim - 2
+    ci, co = kernel.shape[-2], kernel.shape[-1]
+    k = kernel.shape[0]
+    assert all(kk == k for kk in kernel.shape[:nd]) and k == 3
+    M1 = _pack_conv_transpose_matrix(k)
+    Mfull = np.zeros((k**nd, 2**nd, 2**nd), np.float32)
+
+    def flat(idx, base):
+        out = 0
+        for i in idx:
+            out = out * base + i
+        return out
+
+    for t in it.product(range(k), repeat=nd):
+        for u in it.product(range(2), repeat=nd):
+            for r in it.product(range(2), repeat=nd):
+                v = 1.0
+                for d in range(nd):
+                    v *= M1[t[d], u[d], r[d]]
+                if v:
+                    Mfull[flat(t, k), flat(u, 2), flat(r, 2)] = v
+    wt = kernel.reshape((k**nd, ci, co))
+    w2 = jnp.einsum(
+        "tur,tcd->ucrd", jnp.asarray(Mfull, kernel.dtype), wt
+    )
+    w2 = w2.reshape((2,) * nd + (ci, (2**nd) * co)).astype(x.dtype)
+    xq = jnp.pad(x, [(0, 0)] + [(0, 1)] * nd + [(0, 0)])
+    y = jax.lax.conv_general_dilated(
+        xq, w2, (1,) * nd, "VALID",
+        dimension_numbers=conv_dimension_numbers_nd(nd), precision=precision,
+    )
+    return depth_to_space(y, (2,) * nd)
+
+
 def fold_upsample_kernel(kernel: Array, factors: Sequence[int]) -> Array:
     """Fold a conv kernel across a nearest-neighbor upsample:
     ``conv(nearest_up(g, f), W) == depth_to_space(conv(g, fold(W, f)), f)``
@@ -454,6 +562,21 @@ class ConvNd(nn.Module):
                 and all(kk > 1 for kk in self.kernel_size)
             ):
                 route = "zdecomp"
+            elif (
+                nd == 2
+                and all(s == 1 for s in strides)
+                and self.feature_group_count == 1
+                and min(cin, self.features) <= ZDECOMP_MAX_MIN_CHANNELS
+                and all(kk > 1 for kk in self.kernel_size)
+            ):
+                route = "s2d2d"
+            elif (
+                nd == 2
+                and all(s == 2 for s in strides)
+                and self.feature_group_count == 1
+                and all(kk > 1 for kk in self.kernel_size)
+            ):
+                route = "stride2"
             else:
                 route = "native"
 
@@ -465,6 +588,14 @@ class ConvNd(nn.Module):
             if has_pad:
                 x = pad_spatial(x, pads, "zeros")
             y = conv3d_zdecomp(x, k)
+        elif route == "s2d2d":
+            if has_pad:
+                x = pad_spatial(x, pads, "zeros")
+            y = conv2d_s2d(x, k)
+        elif route == "stride2":
+            if has_pad:
+                x = pad_spatial(x, pads, "zeros")
+            y = conv_stride2_s2d(x, k)
         else:
             y = conv_nd(
                 x, k, strides,
@@ -480,8 +611,11 @@ class ConvTransposeNd(nn.Module):
     """N-D transposed convolution with torch output-shape semantics:
     ``out = (in-1)*stride - 2*padding + kernel + output_padding``.
 
-    Implemented as a VALID fractionally-strided conv followed by static crops
-    — all shapes static so XLA tiles it onto the MXU."""
+    Uniform ``kernel``/``bias`` param layout. The ResNet upsampler case
+    (kernel 3, stride 2, padding 1, output_padding 1) routes through the
+    subpixel decomposition (:func:`conv_transpose_s2_subpixel`) — per-phase
+    coarse convs instead of XLA's zero-dilated lowering; other configs run
+    ``lax.conv_transpose`` VALID followed by static crops."""
 
     features: int
     kernel_size: Sequence[int]
@@ -496,24 +630,51 @@ class ConvTransposeNd(nn.Module):
     def __call__(self, x: Array) -> Array:
         nd = len(self.kernel_size)
         strides = _norm_tuple(self.strides, nd)
-        y = nn.ConvTranspose(
-            features=self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=strides,
-            padding="VALID",
-            use_bias=self.use_bias,
-            kernel_init=self.kernel_init,
-            dtype=self.dtype,
-        )(x)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        compute_dtype = self.dtype or x.dtype
+        k = kernel.astype(compute_dtype)
+        x = x.astype(compute_dtype)
         p, op = self.padding, self.output_padding
-        if p > 0 or op > 0:
-            lo, hi = p, p - op
-            assert hi >= 0, "output_padding must be <= padding in this implementation"
-            sl = (slice(None),) + tuple(
-                slice(lo, y.shape[1 + d] - hi) for d in range(nd)
-            ) + (slice(None),)
-            y = y[sl]
+
+        if (
+            tuple(self.kernel_size) == (3,) * nd
+            and strides == (2,) * nd
+            and p == 1 and op == 1
+        ):
+            y = conv_transpose_s2_subpixel(x, k)
+        else:
+            y = jax.lax.conv_transpose(
+                x, k, strides, "VALID",
+                dimension_numbers=_conv_transpose_dn(nd),
+            )
+            if p > 0 or op > 0:
+                lo, hi = p, p - op
+                assert hi >= 0, "output_padding must be <= padding in this implementation"
+                sl = (slice(None),) + tuple(
+                    slice(lo, y.shape[1 + d] - hi) for d in range(nd)
+                ) + (slice(None),)
+                y = y[sl]
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
+
+
+def _conv_transpose_dn(nd: int):
+    """Channels-last dimension-number strings for lax.conv_transpose."""
+    spatial = "DHW"[-nd:] if nd <= 3 else None
+    if spatial is None:
+        # 4D+: build ConvDimensionNumbers-compatible spec via letters
+        letters = "".join(chr(ord("A") + i) for i in range(nd))
+        return ("N" + letters + "C", letters + "IO", "N" + letters + "C")
+    return ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
 
 
 def center_crop(x: Array, target_spatial: Sequence[int]) -> Array:

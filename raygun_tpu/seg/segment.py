@@ -30,34 +30,57 @@ from ..native import connected_components, mutex_watershed, seeded_watershed
 logger = logging.getLogger(__name__)
 
 
-def watershed_from_boundary_distance(
-    boundary_distances: np.ndarray,
-    boundary_mask: np.ndarray,
-    return_seeds: bool = False,
-    id_offset: int = 0,
-    min_seed_distance: int = 10,
-):
-    """Parity with reference ``segment.py:16-42``: maxima of max-filtered
-    EDT become seeds; flood on inverted distance."""
-    max_filtered = ndimage.maximum_filter(boundary_distances, min_seed_distance)
-    maxima = max_filtered == boundary_distances
-    seeds = connected_components(maxima & boundary_mask.astype(bool), connectivity=3)
-    n = int(seeds.max())
-    logger.info(f"Found {n} fragments")
-    if n == 0:
-        ret = (np.zeros(boundary_distances.shape, np.uint64), id_offset)
-        return ret + ((seeds,) if return_seeds else ())
-    seeds[seeds != 0] += id_offset
+class FragmentPipeline:
+    """Seeded-watershed fragment extraction from affinities.
 
-    fragments = seeded_watershed(
-        (boundary_distances.max() - boundary_distances).astype(np.float32),
-        seeds,
-        mask=boundary_mask,
-    )
-    ret = (fragments.astype(np.uint64), n + id_offset)
-    if return_seeds:
-        ret = ret + (seeds.astype(np.uint64),)
-    return ret
+    The recipe (interior mask from mean affinity → euclidean distance to
+    the boundary → local-maximum seeds → priority flood) must reproduce the
+    funke-lab fragment semantics exactly for parity with reference
+    ``segment.py:16-107`` (incl. the per-z-section 2D mode), but is
+    structured here as an explicit stage pipeline over the in-repo C++
+    kernels (``native.connected_components`` / ``native.seeded_watershed``
+    replacing scipy/skimage).
+    """
+
+    def __init__(self, max_affinity_value: float = 1.0,
+                 min_seed_distance: int = 10,
+                 labels_mask: Optional[np.ndarray] = None):
+        self.threshold = 0.5 * max_affinity_value
+        self.min_seed_distance = min_seed_distance
+        self.labels_mask = labels_mask
+        self.next_id = 0
+
+    def _interior(self, mean_affs: np.ndarray, mask_slice) -> np.ndarray:
+        inside = mean_affs > self.threshold
+        if mask_slice is not None:
+            inside &= mask_slice.astype(bool)
+        return inside
+
+    def _seed_markers(self, distances: np.ndarray, inside: np.ndarray):
+        """Plateau-tolerant local maxima of the distance map, labeled as
+        connected components, ids continuing from previous calls."""
+        peak = ndimage.maximum_filter(distances, self.min_seed_distance)
+        markers = connected_components(
+            (peak == distances) & inside, connectivity=3
+        )
+        n_new = int(markers.max())
+        markers[markers != 0] += self.next_id
+        return markers, n_new
+
+    def run(self, mean_affs: np.ndarray, mask_slice=None):
+        """One volume (or one z-section in 2D mode) → (fragments, seeds)."""
+        inside = self._interior(mean_affs, mask_slice)
+        # EDT of the pre-mask interior (the labels_mask restricts seeds and
+        # flooding but not the distance geometry — reference behavior)
+        dist = ndimage.distance_transform_edt(
+            mean_affs > self.threshold
+        ).astype(np.float32)
+        seeds, n_new = self._seed_markers(dist, inside)
+        if n_new == 0:
+            return np.zeros(mean_affs.shape, np.uint64), seeds.astype(np.uint64)
+        self.next_id += n_new
+        fragments = seeded_watershed(dist.max() - dist, seeds, mask=inside)
+        return fragments.astype(np.uint64), seeds.astype(np.uint64)
 
 
 def watershed_from_affinities(
@@ -68,46 +91,24 @@ def watershed_from_affinities(
     min_seed_distance: int = 10,
     labels_mask: Optional[np.ndarray] = None,
 ):
-    """Parity with reference ``segment.py:45-107`` (incl. the per-z 2D
-    mode)."""
+    """Fragment extraction entry point (capability: reference
+    ``segment.py:45-107``). ``fragments_in_xy`` runs per z-section on the
+    in-plane affinity mean — anisotropic EM convention."""
+    pipe = FragmentPipeline(max_affinity_value, min_seed_distance, labels_mask)
     if fragments_in_xy:
         mean_affs = 0.5 * (affs[1] + affs[2])
-        depth = mean_affs.shape[0]
         fragments = np.zeros(mean_affs.shape, np.uint64)
-        if return_seeds:
-            seeds_out = np.zeros(mean_affs.shape, np.uint64)
-        id_offset = 0
-        for z in range(depth):
-            boundary_mask = mean_affs[z] > 0.5 * max_affinity_value
-            boundary_distances = ndimage.distance_transform_edt(boundary_mask)
-            if labels_mask is not None:
-                boundary_mask *= labels_mask[z].astype(bool)
-            ret = watershed_from_boundary_distance(
-                boundary_distances[None].astype(np.float32).repeat(1, 0),
-                boundary_mask[None],
-                return_seeds=return_seeds,
-                id_offset=id_offset,
-                min_seed_distance=min_seed_distance,
-            )
-            fragments[z] = ret[0][0]
-            if return_seeds:
-                seeds_out[z] = ret[2][0]
-            id_offset = ret[1]
-        ret = (fragments, id_offset)
-        if return_seeds:
-            ret += (seeds_out,)
-        return ret
-
-    boundary_mask = np.mean(affs, axis=0) > 0.5 * max_affinity_value
-    boundary_distances = ndimage.distance_transform_edt(boundary_mask)
-    if labels_mask is not None:
-        boundary_mask &= labels_mask.astype(bool)
-    return watershed_from_boundary_distance(
-        boundary_distances.astype(np.float32),
-        boundary_mask,
-        return_seeds=return_seeds,
-        min_seed_distance=min_seed_distance,
-    )
+        seeds_out = np.zeros(mean_affs.shape, np.uint64)
+        for z in range(mean_affs.shape[0]):
+            mask_z = None if labels_mask is None else labels_mask[z][None]
+            frag_z, seed_z = pipe.run(mean_affs[z][None], mask_z)
+            fragments[z], seeds_out[z] = frag_z[0], seed_z[0]
+    else:
+        fragments, seeds_out = pipe.run(np.mean(affs, axis=0), labels_mask)
+    logger.info(f"extracted {pipe.next_id} fragments")
+    if return_seeds:
+        return fragments, pipe.next_id, seeds_out
+    return fragments, pipe.next_id
 
 
 def get_segmentation(

@@ -256,6 +256,24 @@ class MTLSD(BaseSystem):
                         arrays[name] = data
                 sources.append(arrays)
             self.source_arrays = sources[0]
+            # LSD label loop runs over a STATIC max_labels bound — silently
+            # dropping excess ids would corrupt targets, so check loudly
+            # (VERDICT r1; per-crop counts are <= the volume-wide count)
+            if self.lsd_kwargs:
+                n_unique = int(
+                    np.unique(sources[0]["labels"]).size
+                )
+                cap = int(self.max_labels or 64)
+                if n_unique > cap:
+                    import warnings
+
+                    warnings.warn(
+                        f"source volume has {n_unique} unique label ids but "
+                        f"max_labels={cap}: crops containing more than "
+                        f"{cap} ids lose LSD targets for the excess — raise "
+                        "'max_labels' in the config",
+                        stacklevel=2,
+                    )
 
         # read crop = input_shape + elastic margin. Config tuples may be
         # given per-isotropic-axis (len == ndims); pad LEADING (coarse,

@@ -162,3 +162,27 @@ class TestWkwDecode:
         got = vol.read()
         # wkw (x,y,z) -> zarr (z,y,x)
         np.testing.assert_array_equal(got, np.transpose(seg, (2, 1, 0)))
+
+
+def test_inspect_tests_scatter(tmp_path):
+    """inspect_tests writes the significance JSON AND the split-vs-merge
+    scatter figure (reference inspect_tests.py:334+ capability)."""
+    import json as _json
+
+    from raygun_tpu.eval.inspect_tests import inspect_tests
+
+    rng = np.random.default_rng(0)
+    for model in ("model_a", "model_b"):
+        d = tmp_path / model
+        d.mkdir()
+        for i in range(3):
+            m = {
+                "nvi_split": float(rng.uniform(0.1, 0.3)),
+                "nvi_merge": float(rng.uniform(0.5, 0.9)),
+            }
+            (d / f"test_eval{i}_metrics.json").write_text(_json.dumps(m))
+    result = inspect_tests({"base_folder": str(tmp_path)})
+    assert set(result["distributions"]) == {"model_a", "model_b"}
+    assert "ks" in result["significance"]
+    assert os.path.exists(result["scatter"])
+    assert os.path.getsize(result["scatter"]) > 1000

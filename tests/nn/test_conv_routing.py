@@ -202,3 +202,18 @@ def test_packed_level0_gradients_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_conv2d_s2d_matches_native():
+    from raygun_tpu.nn.layers import conv2d_s2d
+
+    rng = np.random.default_rng(10)
+    for shape, ks in [((2, 13, 16, 3), (3, 3)), ((1, 20, 20, 1), (7, 7)),
+                      ((1, 14, 15, 5), (5, 3))]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(
+            rng.normal(size=ks + (shape[-1], 4)).astype(np.float32))
+        ref = conv_nd(x, w, precision="highest")
+        got = conv2d_s2d(x, w, precision="highest")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
