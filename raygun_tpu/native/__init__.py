@@ -50,7 +50,7 @@ def _load() -> ctypes.CDLL:
     lib.agglomerate.argtypes = [f32p, u64p, i64, i64, i64, f32p, i64, f64, u64p]
     lib.rand_voi.argtypes = [u64p, u64p, i64, f64p]
     lib.connected_components.argtypes = [u8p, i64, i64, i64, i64, u64p]
-    lib.mws_region_graph.argtypes = [f32p, i64p, i64p, u8p, i64, i64, u64p]
+    lib.mws_region_graph.argtypes = [f32p, i64p, i64p, u8p, i64, i64, i64, u64p]
     for fn in (lib.mutex_watershed, lib.seeded_watershed, lib.agglomerate,
                lib.rand_voi, lib.connected_components, lib.mws_region_graph):
         fn.restype = None
@@ -170,9 +170,12 @@ def mws_region_graph(
     v: np.ndarray,
     attractive: np.ndarray,
     n_nodes: int,
+    presorted: bool = False,
 ) -> np.ndarray:
     """Mutex watershed on an explicit edge list (the blockwise-MWS stitch
-    phase): Kruskal-with-mutexes over edges sorted by weight descending.
+    phase and the host union-find stage of the on-device MWS pipeline):
+    Kruskal-with-mutexes over edges sorted by weight descending.
+    ``presorted=True`` trusts the caller's order (e.g. an XLA device sort).
     Returns the union-find root per node (not compacted)."""
     weights = np.ascontiguousarray(weights, np.float32)
     u = np.ascontiguousarray(u, np.int64)
@@ -181,7 +184,8 @@ def mws_region_graph(
     assert weights.shape == u.shape == v.shape == attractive.shape
     out = np.zeros(int(n_nodes), np.uint64)
     lib().mws_region_graph(
-        weights, u, v, attractive, len(weights), int(n_nodes), out
+        weights, u, v, attractive, len(weights), int(n_nodes),
+        1 if presorted else 0, out
     )
     return out
 

@@ -185,13 +185,16 @@ void mutex_watershed(const float* affs, const int64_t* offsets, int64_t n_offset
 // out: (n_nodes) uint64 — root id per node (NOT compacted; caller relabels).
 // ---------------------------------------------------------------------------
 
+// presorted != 0: edges already sorted by weight descending (e.g. by an
+// XLA device sort) — skip the host sort.
 void mws_region_graph(const float* w, const int64_t* u, const int64_t* v,
                       const uint8_t* attractive, int64_t n_edges,
-                      int64_t n_nodes, uint64_t* out) {
+                      int64_t n_nodes, int64_t presorted, uint64_t* out) {
     std::vector<int64_t> order(static_cast<size_t>(n_edges));
     std::iota(order.begin(), order.end(), 0);
-    std::sort(order.begin(), order.end(),
-              [&](int64_t a, int64_t b) { return w[a] > w[b]; });
+    if (!presorted)
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t a, int64_t b) { return w[a] > w[b]; });
 
     UnionFind uf(static_cast<size_t>(n_nodes));
     std::vector<std::unordered_set<int64_t>> mutexes(

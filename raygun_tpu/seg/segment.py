@@ -192,9 +192,20 @@ def mutex_segment(config_path):
     affs[:sep] = affs[:sep] + 1
 
     logger.info("Getting segmentations...")
-    seg = mutex_watershed(
-        affs, neighborhood, sep, strides=seg_config["strides"], mask=mask
-    )
+    if seg_config.get("on_device", False):
+        # north-star path: edge extraction + sort on the TPU, union-find on
+        # host C++ (or fully on device with union_find: "device")
+        from .mws_device import mutex_watershed_device
+
+        seg = mutex_watershed_device(
+            affs, neighborhood, sep, strides=seg_config["strides"],
+            mask_thresh=mask_thresh,
+            union_find=seg_config.get("union_find", "host"),
+        )
+    else:
+        seg = mutex_watershed(
+            affs, neighborhood, sep, strides=seg_config["strides"], mask=mask
+        )
     logger.info("Segmented.")
 
     if not seg_config.get("save", True):
