@@ -51,8 +51,13 @@ def _load() -> ctypes.CDLL:
     lib.rand_voi.argtypes = [u64p, u64p, i64, f64p]
     lib.connected_components.argtypes = [u8p, i64, i64, i64, i64, u64p]
     lib.mws_region_graph.argtypes = [f32p, i64p, i64p, u8p, i64, i64, i64, u64p]
+    u32p = ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.agglomerate_graph.argtypes = [
+        i64p, i64p, u32p, i64, i64, f32p, i64, f64, u64p,
+    ]
     for fn in (lib.mutex_watershed, lib.seeded_watershed, lib.agglomerate,
-               lib.rand_voi, lib.connected_components, lib.mws_region_graph):
+               lib.rand_voi, lib.connected_components, lib.mws_region_graph,
+               lib.agglomerate_graph):
         fn.restype = None
     return lib
 
@@ -197,4 +202,29 @@ def connected_components(mask: np.ndarray, connectivity: int = 3) -> np.ndarray:
     Z, Y, X = mask.shape
     out = np.zeros((Z, Y, X), np.uint64)
     lib().connected_components(mask.reshape(-1), Z, Y, X, connectivity, out.reshape(-1))
+    return out
+
+
+def agglomerate_graph(
+    u: np.ndarray,
+    v: np.ndarray,
+    hists: np.ndarray,
+    n_nodes: int,
+    thresholds,
+    quantile: float = 0.75,
+) -> np.ndarray:
+    """waterz-style agglomeration over an explicit region graph (blockwise
+    watershed path): nodes are compact fragment ids, ``hists`` (n_edges,
+    256) are per-edge boundary-affinity histograms. Returns (n_thresholds,
+    n_nodes) uint64 root-per-node LUTs, one per threshold."""
+    u = np.ascontiguousarray(u, np.int64)
+    v = np.ascontiguousarray(v, np.int64)
+    hists = np.ascontiguousarray(hists, np.uint32)
+    assert hists.shape == (len(u), 256)
+    th = np.ascontiguousarray(thresholds, np.float32)
+    out = np.zeros((len(th), int(n_nodes)), np.uint64)
+    lib().agglomerate_graph(
+        u, v, hists.reshape(-1), len(u), int(n_nodes), th, len(th),
+        float(quantile), out.reshape(-1),
+    )
     return out

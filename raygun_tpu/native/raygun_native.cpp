@@ -453,6 +453,105 @@ void agglomerate(const float* affs, const uint64_t* fragments, int64_t Z,
 }
 
 // ---------------------------------------------------------------------------
+// waterz-style agglomeration over an EXPLICIT region graph (blockwise path:
+// the graph is accumulated chunk-by-chunk in Python; this merges it and
+// emits one fragment->segment LUT per threshold instead of volumes).
+//
+// hists: (n_edges, 256) uint32 affinity histograms per edge.
+// out:   (n_thresholds, n_nodes) uint64 — root node id per node.
+// ---------------------------------------------------------------------------
+
+void agglomerate_graph(const int64_t* u, const int64_t* v,
+                       const uint32_t* hists, int64_t n_edges,
+                       int64_t n_nodes, const float* thresholds,
+                       int64_t n_thresholds, double quantile, uint64_t* out) {
+    UnionFind uf(static_cast<size_t>(n_nodes));
+    std::vector<std::unordered_map<int64_t, EdgeHist>> adj(
+        static_cast<size_t>(n_nodes));
+    for (int64_t e = 0; e < n_edges; ++e) {
+        EdgeHist h;
+        for (int i = 0; i < 256; ++i) h.bins[i] = hists[e * 256 + i];
+        h.count = 0;
+        for (int i = 0; i < 256; ++i) h.count += h.bins[i];
+        auto ita = adj[u[e]].find(v[e]);
+        if (ita == adj[u[e]].end()) {
+            adj[u[e]][v[e]] = h;
+            adj[v[e]][u[e]] = h;
+        } else {
+            ita->second.merge(h);
+            adj[v[e]][u[e]].merge(h);
+        }
+    }
+
+    struct QEdge {
+        float score;
+        int64_t a, b;
+        bool operator<(const QEdge& o) const { return score > o.score; }
+    };
+    std::priority_queue<QEdge> pq;
+    for (int64_t a = 0; a < n_nodes; ++a)
+        for (auto& kv : adj[a])
+            if (kv.first > a)
+                pq.push({1.0f - kv.second.quantile(quantile), a, kv.first});
+
+    std::vector<int64_t> order(n_thresholds);
+    std::iota(order.begin(), order.end(), 0);
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return thresholds[a] < thresholds[b];
+    });
+
+    auto snapshot = [&](int64_t t_idx) {
+        uint64_t* dst = out + t_idx * n_nodes;
+        for (int64_t i = 0; i < n_nodes; ++i)
+            dst[i] = static_cast<uint64_t>(uf.find(i));
+    };
+
+    size_t t_pos = 0;
+    while (!pq.empty() && t_pos < static_cast<size_t>(n_thresholds)) {
+        QEdge e = pq.top();
+        pq.pop();
+        int64_t ra = uf.find(e.a), rb = uf.find(e.b);
+        if (ra == rb) continue;
+        auto it = adj[ra].find(rb);
+        if (it == adj[ra].end()) continue;
+        const float live = 1.0f - it->second.quantile(quantile);
+        if (live > e.score + 1e-6f) {
+            pq.push({live, ra, rb});
+            continue;
+        }
+        while (t_pos < static_cast<size_t>(n_thresholds) &&
+               e.score > thresholds[order[t_pos]]) {
+            snapshot(order[t_pos]);
+            t_pos++;
+        }
+        if (t_pos >= static_cast<size_t>(n_thresholds)) break;
+
+        const int64_t keep = uf.merge(ra, rb);
+        const int64_t gone = keep == ra ? rb : ra;
+        adj[keep].erase(gone);
+        adj[gone].erase(keep);
+        for (auto& nb : adj[gone]) {
+            const int64_t rn = uf.find(nb.first);
+            if (rn == keep) continue;
+            auto ex = adj[keep].find(rn);
+            if (ex == adj[keep].end()) {
+                adj[keep][rn] = nb.second;
+            } else {
+                ex->second.merge(nb.second);
+            }
+            adj[rn].erase(gone);
+            adj[rn][keep] = adj[keep][rn];
+            pq.push({1.0f - adj[keep][rn].quantile(quantile), keep, rn});
+        }
+        adj[gone].clear();
+    }
+    while (t_pos < static_cast<size_t>(n_thresholds)) {
+        snapshot(order[t_pos]);
+        t_pos++;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // rand / VOI metrics (funlib.evaluate rand_voi parity)
 // ---------------------------------------------------------------------------
 //

@@ -309,6 +309,14 @@ def segment(config_path=None):
     aff_ds = config.get("aff_ds", "pred_affs")
     thresholds = config.get("thresholds", [round(0.1 * t, 2) for t in range(1, 9)])
     vol = open_ds(file, aff_ds)
+
+    est_gb = 4.0 * float(np.prod(vol.shape)) / 1e9
+    blockwise = config.get("blockwise")
+    if blockwise is None:
+        blockwise = est_gb > float(config.get("max_ram_gb", 16))
+    if blockwise:
+        return _segment_watershed_blockwise(config_path, config, vol, thresholds)
+
     affs = vol.read().astype(np.float32)
     if np.issubdtype(vol.dtype, np.integer):
         affs = affs / float(np.iinfo(vol.dtype).max)
@@ -324,3 +332,53 @@ def segment(config_path=None):
         out.write(vol.roi, seg)
         _append_ng_script(config_path, file, ds_name)
     return segs
+
+
+def _segment_watershed_blockwise(config_path, config, vol, thresholds):
+    """Chunk-streamed watershed + agglomeration (peak RAM independent of
+    volume size; reference segment.py:115-136 loads whole volumes)."""
+    from .blockwise_watershed import watershed_agglomerate_blockwise
+
+    file = config["file"]
+    chunk = tuple(config.get("chunk_shape", (192, 192, 192)))
+    shape = vol.spatial_shape
+    int_max = (
+        float(np.iinfo(vol.dtype).max)
+        if np.issubdtype(vol.dtype, np.integer) else None
+    )
+
+    frag_ds = prepare_ds(
+        file, config.get("fragments_ds", "fragments"), vol.roi,
+        vol.voxel_size, np.uint64, delete=True,
+    )
+    seg_dss = []
+    for t in thresholds:
+        ds_name = f"pred_seg_{t:.2f}"
+        seg_dss.append(prepare_ds(
+            file, ds_name, vol.roi, vol.voxel_size, np.uint64, delete=True))
+        _append_ng_script(config_path, file, ds_name)
+
+    def read_affs(lo, hi):
+        sl = (slice(None),) + tuple(slice(l, h) for l, h in zip(lo, hi))
+        arr = vol.store[sl].read().result().astype(np.float32)
+        return arr / int_max if int_max is not None else arr
+
+    def write_fragments(lo, hi, arr):
+        frag_ds.store[tuple(slice(l, h) for l, h in zip(lo, hi))] = arr
+
+    def read_fragments(lo, hi):
+        return frag_ds.store[
+            tuple(slice(l, h) for l, h in zip(lo, hi))
+        ].read().result()
+
+    def write_seg(t_idx, lo, hi, arr):
+        seg_dss[t_idx].store[tuple(slice(l, h) for l, h in zip(lo, hi))] = arr
+
+    logger.info(f"Blockwise watershed over {shape} in {chunk} chunks...")
+    n = watershed_agglomerate_blockwise(
+        read_affs, shape, list(thresholds), write_fragments, read_fragments,
+        write_seg, chunk=chunk,
+        max_affinity_value=float(config.get("max_affinity_value", 1.0)),
+    )
+    logger.info(f"{n} fragments agglomerated at {len(thresholds)} thresholds.")
+    return seg_dss
