@@ -44,6 +44,11 @@ RENDER_DEFAULTS = {
     # per spatial axis. Replaces the block grid with ONE jitted program +
     # ICI halo exchange; seam-equivalent to the blockwise path (tested).
     "sharded": None,
+    # shared-filesystem block lease queue (daisy control-plane replacement,
+    # distributed.queue): elastic multi-worker + failed-shard reissue.
+    # Default: deterministic static split by process index.
+    "queue_dir": None,
+    "lease_timeout": 600.0,
 }
 
 
@@ -186,6 +191,8 @@ def predict(render_config_path: str) -> List[str]:
             process_index=jax.process_index(),
             num_processes=jax.process_count(),
             device_batch=int(render_config["device_batch"]),
+            queue_dir=render_config["queue_dir"],
+            lease_timeout=float(render_config["lease_timeout"]),
         )
         stats = runner.run()
     print(

@@ -60,6 +60,8 @@ class BlockwiseRunner:
         process_index: int = 0,
         num_processes: int = 1,
         device_batch: int = 1,
+        queue_dir: Optional[str] = None,
+        lease_timeout: float = 600.0,
     ):
         self.source = source
         self.outputs = outputs
@@ -74,8 +76,21 @@ class BlockwiseRunner:
         self.context = Coordinate(context_vox) * self.voxel_size
         self.write_size = Coordinate(self.output_shape) * self.voxel_size
         blocks = block_grid(self.total_roi, self.write_size, self.context)
-        # static multi-host split (replaces daisy's TCP lease server)
-        self.blocks = blocks[process_index::num_processes]
+        # two multi-host modes replace daisy's TCP lease server:
+        #   static split (default): deterministic, zero coordination
+        #   queue_dir: shared-filesystem lease queue — elastic workers +
+        #   failed-shard reissue (see distributed.queue.FileClaimQueue)
+        self.queue = None
+        if queue_dir is not None:
+            from .queue import FileClaimQueue
+
+            self.all_blocks = blocks
+            self.blocks = blocks  # length used for grouping; order via queue
+            self.queue = FileClaimQueue(
+                queue_dir, len(blocks), lease_timeout=lease_timeout
+            )
+        else:
+            self.blocks = blocks[process_index::num_processes]
         self.max_retries = max_retries
         self.normalize_fn = normalize_fn
         self.device_batch = max(1, int(device_batch))
@@ -128,74 +143,111 @@ class BlockwiseRunner:
                     raise
                 fut = vol.write_async(roi, arr)
 
+    def _start_reads(self, block_list):
+        # read only each (possibly clipped) block's real region; inputs
+        # are padded back to the static input_shape at the high side in
+        # _prep, keeping one compiled forward for every block.
+        futures = []
+        for write, read in block_list:
+            nominal_write = Roi(write.offset, self.write_size)
+            futures.append(
+                (self.source.read_async(read), read, write, nominal_write)
+            )
+        return futures
+
+    def _compute_and_write(self, group_futures, pending_writes):
+        t0 = time.perf_counter()
+        group = [
+            (self._read_result(fut, read), write, nominal)
+            for fut, read, write, nominal in group_futures
+        ]
+        self.stats["read_s"] += time.perf_counter() - t0
+
+        # stack the group into one device batch (pad the tail group by
+        # repeating the last block; extra outputs are discarded)
+        t0 = time.perf_counter()
+        db = self.device_batch
+        prepped = [self._prep(data)[0] for data, _, _ in group]
+        while len(prepped) < db and db > 1:
+            prepped.append(prepped[-1])
+        x = jnp.stack(prepped) if db > 1 else prepped[0][None]
+        for attempt in range(self.max_retries + 1):
+            try:
+                outs = self.fn(x)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+                break
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+        self.stats["compute_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for b, (_, write, nominal_write) in enumerate(group):
+            for name, arr in outs.items():
+                if name not in self.outputs:
+                    continue
+                vol = self.outputs[name]
+                a = arr[b]
+                has_channels = a.ndim == len(self.output_shape) + 1
+                a = self._crop_to_write(a, write, nominal_write)
+                if has_channels:
+                    a = np.moveaxis(a, -1, 0)  # channels-first on disk
+                if vol.dtype != a.dtype:
+                    a = _rescale_to_dtype(a, vol.dtype)
+                pending_writes.append((vol.write_async(write, a), vol, write, a))
+            self.stats["blocks"] += 1
+        # bound the write queue
+        while len(pending_writes) > 8:
+            self._drain_write(pending_writes.pop(0))
+        self.stats["write_s"] += time.perf_counter() - t0
+
     def run(self, progress: bool = True) -> dict:
+        if self.queue is not None:
+            return self._run_queue()
         pending_writes: List = []
-
-        def start_reads(g):
-            # read only each (possibly clipped) block's real region; inputs
-            # are padded back to the static input_shape at the high side in
-            # _prep, keeping one compiled forward for every block.
-            futures = []
-            for write, read in self.blocks[g: g + self.device_batch]:
-                nominal_write = Roi(write.offset, self.write_size)
-                futures.append(
-                    (self.source.read_async(read), read, write, nominal_write)
-                )
-            return futures
-
         n = len(self.blocks)
         if n == 0:
             return self.stats
         db = self.device_batch
-        group_futures = start_reads(0)
+        group_futures = self._start_reads(self.blocks[0:db])
         for g in range(0, n, db):
-            t0 = time.perf_counter()
-            group = [
-                (self._read_result(fut, read), write, nominal)
-                for fut, read, write, nominal in group_futures
-            ]
-            self.stats["read_s"] += time.perf_counter() - t0
-            if g + db < n:
-                group_futures = start_reads(g + db)  # prefetch next group
-
-            # stack the group into one device batch (pad the tail group by
-            # repeating the last block; extra outputs are discarded)
-            t0 = time.perf_counter()
-            prepped = [self._prep(data)[0] for data, _, _ in group]
-            while len(prepped) < db and db > 1:
-                prepped.append(prepped[-1])
-            x = jnp.stack(prepped) if db > 1 else prepped[0][None]
-            for attempt in range(self.max_retries + 1):
-                try:
-                    outs = self.fn(x)
-                    outs = {k: np.asarray(v) for k, v in outs.items()}
-                    break
-                except Exception:
-                    if attempt == self.max_retries:
-                        raise
-            self.stats["compute_s"] += time.perf_counter() - t0
-
-            t0 = time.perf_counter()
-            for b, (_, write, nominal_write) in enumerate(group):
-                for name, arr in outs.items():
-                    if name not in self.outputs:
-                        continue
-                    vol = self.outputs[name]
-                    a = arr[b]
-                    has_channels = a.ndim == len(self.output_shape) + 1
-                    a = self._crop_to_write(a, write, nominal_write)
-                    if has_channels:
-                        a = np.moveaxis(a, -1, 0)  # channels-first on disk
-                    if vol.dtype != a.dtype:
-                        a = _rescale_to_dtype(a, vol.dtype)
-                    pending_writes.append((vol.write_async(write, a), vol, write, a))
-                self.stats["blocks"] += 1
-            # bound the write queue
-            while len(pending_writes) > 8:
-                self._drain_write(pending_writes.pop(0))
-            self.stats["write_s"] += time.perf_counter() - t0
+            next_futures = (
+                self._start_reads(self.blocks[g + db: g + 2 * db])
+                if g + db < n else None
+            )
+            self._compute_and_write(group_futures, pending_writes)
+            group_futures = next_futures
         for w in pending_writes:
             self._drain_write(w)
+        return self.stats
+
+    def _run_queue(self) -> dict:
+        """Queue mode: claim blocks from the shared-filesystem lease queue
+        (elastic multi-worker + failed-shard reissue); completion is marked
+        only after the block's writes have drained."""
+        pending_writes: List = []
+
+        def claim_group():
+            idxs = []
+            for _ in range(self.device_batch):
+                i = self.queue.next_block()
+                if i is None:
+                    break
+                idxs.append(i)
+            return idxs
+
+        idxs = claim_group()
+        while idxs:
+            futures = self._start_reads([self.all_blocks[i] for i in idxs])
+            self._compute_and_write(futures, pending_writes)
+            # drain THIS group's writes before marking done: a done-marked
+            # block must be durably on disk (reissue correctness)
+            for w in pending_writes:
+                self._drain_write(w)
+            pending_writes.clear()
+            for i in idxs:
+                self.queue.mark_done(i)
+            idxs = claim_group()
         return self.stats
 
 

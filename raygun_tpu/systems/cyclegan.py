@@ -646,6 +646,8 @@ class CycleGAN(BaseSystem):
             histogram_every=tk.get("histogram_every"),
             validate_every=validate_every,
             validate_fn=validate_fn,
+            profile_dir=tk.get("profile_dir"),
+            profile_steps=tuple(tk.get("profile_steps", (10, 20))),
         )
 
     def make_request(self, mode: str = "train"):

@@ -87,6 +87,8 @@ class Trainer:
         histogram_every: Optional[int] = None,
         validate_every: Optional[int] = None,
         validate_fn: Optional[Callable[[int], Any]] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: Sequence[int] = (10, 20),
     ):
         self.step_fn = step_fn
         # {start_step: fn} phase switches (e.g. freeze_norms_at — reference
@@ -115,6 +117,13 @@ class Trainer:
         # ``BaseCompetentLoss.update_status:72-76`` -> run_validation)
         self.validate_every = validate_every
         self.validate_fn = validate_fn
+        # device-level profiling (SURVEY §5.1: jax.profiler traces, replacing
+        # the reference's CPU-only gunpowder node timings): trace the steps
+        # in [profile_steps[0], profile_steps[1]) into profile_dir —
+        # viewable with tensorboard's profile plugin / xprof
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
+        self._profiling = False
         self.stats = ProfilingStats()
 
     # -- checkpointing ---------------------------------------------------
@@ -219,6 +228,19 @@ class Trainer:
             for boundary, fn in self.step_fn_phases.items():
                 if i >= boundary:
                     step_fn = fn
+            if self.profile_dir is not None:
+                if i == self.profile_steps[0] and not self._profiling:
+                    try:
+                        jax.profiler.start_trace(self.profile_dir)
+                        self._profiling = True
+                    except Exception as e:  # backend without profiler support
+                        print(f"profiler unavailable: {e}")
+                        self.profile_dir = None
+                elif i == self.profile_steps[1] and self._profiling:
+                    jax.block_until_ready(self.state)
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    print(f"wrote jax.profiler trace to {self.profile_dir}")
             key = jax.random.fold_in(self.base_key, i)
             t0 = time.perf_counter()
             self.state, metrics = step_fn(self.state, key)
@@ -257,6 +279,9 @@ class Trainer:
                 if not (self.save_every and step % self.save_every == 0):
                     self.save(step)  # validation loads the checkpoint
                 self.validate_fn(step)
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
         if self.save_every and self.num_epochs % self.save_every != 0:
             self.save(self.num_epochs)
         if self.writer is not None:

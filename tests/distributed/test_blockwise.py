@@ -222,3 +222,59 @@ class TestShardedInferVolume:
         full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
         full = np.moveaxis(np.asarray(full[0]), -1, 0)
         np.testing.assert_allclose(sharded, full, rtol=0, atol=1e-5)
+
+
+class TestFileClaimQueue:
+    """Shared-filesystem lease queue (daisy control-plane replacement):
+    disjoint claims across workers, durable completion, stale-lease
+    reissue."""
+
+    def test_two_runners_share_all_blocks(self, tmp_path, net_and_params):
+        net, params = net_and_params
+        rng = np.random.default_rng(5)
+        vol_shape = (28, 28, 28)
+        data = rng.random(vol_shape).astype(np.float32)
+        vx = Coordinate(10, 10, 10)
+        total = Roi((0, 0, 0), Coordinate(vol_shape) * vx)
+        path = str(tmp_path / "in.zarr")
+        src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+        src.write(total, data)
+        write_roi = total.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+        dest = prepare_ds(path, "out", write_roi, vx, np.float32,
+                          num_channels=3, delete=True)
+        fwd = jax.jit(lambda x: {"out": net.apply({"params": params}, x)})
+        qdir = str(tmp_path / "queue")
+
+        def make_runner():
+            return BlockwiseRunner(
+                source=open_ds(path, "raw"), outputs={"out": dest}, fn=fwd,
+                input_shape=(12, 12, 12), output_shape=(8, 8, 8),
+                queue_dir=qdir,
+            )
+
+        r1, r2 = make_runner(), make_runner()
+        s1 = r1.run()
+        s2 = r2.run()  # everything already claimed+done
+        assert s1["blocks"] == 27 and s2["blocks"] == 0
+        assert r1.queue.remaining() == 0
+
+        out = open_ds(path, "out").read()
+        full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+        full = np.moveaxis(np.asarray(full[0]), -1, 0)
+        np.testing.assert_allclose(out, full, rtol=0, atol=1e-5)
+
+    def test_stale_lease_reissued(self, tmp_path):
+        from raygun_tpu.distributed.queue import FileClaimQueue
+
+        q1 = FileClaimQueue(str(tmp_path / "q"), 2, lease_timeout=0.1)
+        assert q1.next_block() == 0  # claimed, never marked done (worker died)
+        q2 = FileClaimQueue(str(tmp_path / "q"), 2, lease_timeout=0.1)
+        assert q2.next_block() == 1
+        import time as _t
+
+        _t.sleep(0.15)
+        assert q2.next_block() == 0  # stale lease reclaimed
+        q2.mark_done(0)
+        q2.mark_done(1)
+        assert q2.next_block() is None
+        assert q2.remaining() == 0

@@ -94,3 +94,32 @@ def test_validate_hook_saves_then_runs(tmp_path):
     # a checkpoint exists for the validation to load
     path, it = latest_checkpoint(str(tmp_path / "model"))
     assert path is not None and it == 4
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """train_kwargs profile_dir produces a jax.profiler trace (SURVEY §5.1)."""
+    import glob as _glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from raygun_tpu.train.loop import Trainer
+
+    class S:
+        pass
+
+    state0 = {"w": jnp.zeros(4)}
+
+    @jax.jit
+    def step(state, key):
+        return {"w": state["w"] + 1}, {"loss": jnp.sum(state["w"])}
+
+    tr = Trainer(
+        step_fn=step, state=state0, num_epochs=6, log_every=2, save_every=0,
+        checkpoint_basename=str(tmp_path / "m"),
+        profile_dir=str(tmp_path / "trace"), profile_steps=(1, 4),
+    )
+    tr.train(start_iteration=0)
+    files = _glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
+               for f in files), files
