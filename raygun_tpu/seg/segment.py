@@ -315,6 +315,11 @@ def segment(config_path=None):
     if blockwise is None:
         blockwise = est_gb > float(config.get("max_ram_gb", 16))
     if blockwise:
+        if "mask_ds" in config:
+            raise ValueError(
+                "mask_ds is not supported by the blockwise watershed path "
+                "yet — set blockwise: false (in-RAM) or drop mask_ds"
+            )
         return _segment_watershed_blockwise(config_path, config, vol, thresholds)
 
     affs = vol.read().astype(np.float32)

@@ -67,6 +67,7 @@ class MTLSDModel(nn.Module):
 
         use_packed = (
             self.unet_kwargs.get("downsample_method", "max").lower() == "max"
+            and self.unet_kwargs.get("num_heads", 1) == 1
             and packed_level0_active(
                 dict(self.unet_kwargs), raw.shape[1:1 + ndims]
             )
