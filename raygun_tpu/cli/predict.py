@@ -204,6 +204,31 @@ def predict(render_config_path: str) -> List[str]:
     return [os.path.join(dest_path, d) for d in output_ds]
 
 
+def batch_predict(base_folder: str, config_name: str = "render_conf.json"):
+    """Render every ``render_conf.json`` under a folder tree — the
+    capability reference ``predict.py:195-253`` stubs out (its
+    ``batch_predict`` is dead code marked TODO with missing imports,
+    SURVEY §2.4). Walks like ``batch_train``, skipping output dirs."""
+    base_folder = os.path.abspath(base_folder)
+    skip = {"models", "snapshots", "tensorboard", "tensorboards", "__pycache__"}
+    rendered = []
+    for root, dirs, files in os.walk(base_folder):
+        dirs[:] = [d for d in dirs if d not in skip and not d.endswith(".zarr")
+                   and not d.endswith(".n5")]
+        if config_name in files:
+            conf = os.path.join(root, config_name)
+            print(f"rendering {conf}")
+            rendered.extend(predict(conf))
+    return rendered
+
+
+def batch_main():
+    if len(sys.argv) < 2:
+        print("usage: raygun-predict-batch <folder> [config_name]", file=sys.stderr)
+        sys.exit(1)
+    batch_predict(sys.argv[1], *(sys.argv[2:3] or []))
+
+
 def write_ng_script(dest_path, volumes, source_path, source_dataset):
     """Neuroglancer view script (parity: reference ``predict.py:172-189``)."""
     script = os.path.join(dest_path + ".ng")

@@ -18,8 +18,31 @@ from ..core.config import read_config
 from ..systems import load_system
 
 
+def _maybe_init_distributed():
+    """Multi-host coordination over DCN (SURVEY §5.8: jax.distributed
+    replaces daisy's TCP control plane). Triggered by the standard cluster
+    env (JAX_COORDINATOR_ADDRESS or a recognized cluster environment);
+    single-host runs are untouched."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        try:
+            jax.distributed.initialize()
+            print(
+                f"jax.distributed: process {jax.process_index()} of "
+                f"{jax.process_count()}"
+            )
+        except Exception as e:  # pragma: no cover - cluster-env dependent
+            print(f"jax.distributed.initialize failed: {e}")
+
+
 def train(config_path: str):
     """Train the system named in the config (reference ``train.py:52-74``)."""
+    _maybe_init_distributed()
     config_path = os.path.abspath(config_path)
     os.chdir(os.path.dirname(config_path))
     system = load_system(config_path)
