@@ -69,9 +69,7 @@ class FileClaimQueue:
             return False
         return self._try_claim(i)
 
-    def next_block(self) -> Optional[int]:
-        """Claim the next unprocessed block; None when all blocks are done
-        or actively leased by live workers."""
+    def _sweep(self) -> Optional[int]:
         for i in range(self.n):
             if os.path.exists(self._done(i)):
                 continue
@@ -84,6 +82,23 @@ class FileClaimQueue:
             if self._try_reclaim_stale(i):
                 return i
         return None
+
+    def next_block(
+        self, wait: bool = True, poll_interval: float = 5.0
+    ) -> Optional[int]:
+        """Claim the next unprocessed block; None only when EVERY block is
+        done. While undone blocks are leased by other workers, this waits
+        (polling) rather than returning — if those workers die, their
+        leases go stale and get reclaimed here; returning early would leave
+        holes in the output volume (``wait=False`` restores the
+        non-blocking behavior for tests/polling loops)."""
+        while True:
+            i = self._sweep()
+            if i is not None:
+                return i
+            if self.remaining() == 0 or not wait:
+                return None
+            time.sleep(min(poll_interval, max(self.lease_timeout / 10, 0.05)))
 
     def mark_done(self, i: int) -> None:
         tmp = self._done(i) + f".{self.worker_id}"

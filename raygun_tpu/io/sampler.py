@@ -216,6 +216,7 @@ class MultiSourceSampler:
         mask_name: Optional[str] = None,
         min_masked: float = 0.0,
         device=None,
+        seed: int = 0,
     ):
         assert len(sources) >= 1
         self.crop_shape = tuple(int(c) for c in crop_shape)
@@ -243,7 +244,7 @@ class MultiSourceSampler:
             else:
                 mask = np.ones(src[keys[0]].shape[:nd], bool)
             try:
-                org = valid_origins(mask, self.crop_shape, min_masked)
+                org = valid_origins(mask, self.crop_shape, min_masked, rng_seed=seed)
             except ValueError:
                 continue  # this source has no valid crops; others may
             rows.append(
@@ -314,7 +315,7 @@ class HostStreamSampler:
         self.voxel_size = first.voxel_size
         if mask_name is not None:
             mask = volumes[mask_name].read() > 0
-            self.origins = valid_origins(mask, self.crop_shape, min_masked)
+            self.origins = valid_origins(mask, self.crop_shape, min_masked, rng_seed=seed)
         else:
             extent = tuple(
                 s - c + 1 for s, c in zip(first.spatial_shape, self.crop_shape)

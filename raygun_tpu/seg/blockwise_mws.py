@@ -149,14 +149,20 @@ def mutex_watershed_blockwise(
     # ---- pass 1: label chunks, collect cross edges
     for lo, hi in chunks:
         dims = tuple(h - l for l, h in zip(lo, hi))
-        affs = np.asarray(read_affs(lo, hi), np.float32)
 
         halo_mask = None
         mask = None
         if mask_thresh is not None:
+            # one storage read covers both the mask halo and (by slicing)
+            # the interior affinities
             hlo = tuple(max(0, l - mm) for l, mm in zip(lo, m))
             hhi = tuple(min(s, h + mm) for s, h, mm in zip(shape, hi, m))
             haffs = np.asarray(read_affs(hlo, hhi), np.float32)
+            affs = haffs[
+                (slice(None),)
+                + tuple(slice(l - hl, (l - hl) + d)
+                        for l, hl, d in zip(lo, hlo, dims))
+            ]
             # the mask criterion is on the PRE-inversion affinities: the
             # caller hands us inverted ones, so invert back for the mean
             # (attractive channels were re-flipped; see seg/segment.py)
@@ -174,6 +180,8 @@ def mutex_watershed_blockwise(
                       z0[2]: z0[2] + hm.shape[2]] = hm
             mask = halo_mask[m[0]: m[0] + dims[0], m[1]: m[1] + dims[1],
                              m[2]: m[2] + dims[2]]
+        else:
+            affs = np.asarray(read_affs(lo, hi), np.float32)
 
         labels = mutex_watershed(
             affs, offsets, sep, strides=strides, mask=mask, stride_phase=lo

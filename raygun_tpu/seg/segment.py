@@ -68,7 +68,10 @@ class FragmentPipeline:
         return markers, n_new
 
     def run(self, mean_affs: np.ndarray, mask_slice=None):
-        """One volume (or one z-section in 2D mode) → (fragments, seeds)."""
+        """One volume (or one z-section in 2D mode) → (fragments, seeds).
+        ``mask_slice`` defaults to the constructor's ``labels_mask``."""
+        if mask_slice is None:
+            mask_slice = self.labels_mask
         inside = self._interior(mean_affs, mask_slice)
         # EDT of the pre-mask interior (the labels_mask restricts seeds and
         # flooding but not the distance geometry — reference behavior)

@@ -332,6 +332,32 @@ class BaseSystem:
         raise NotImplementedError()
 
     # -- drivers --------------------------------------------------------------
+    def make_validate_fn(self):
+        """Training-time validation hook (parity: reference
+        ``BaseCompetentLoss.update_status:72-76`` firing ``run_validation``
+        every ``validate_every`` steps). Config key: ``validation_config``
+        (same meta-config surface as raygun-run-validation)."""
+        if not self.validation_config:
+            return None, None
+        vc = dict(self.validation_config)
+        every = int(vc.get("validate_every", 0) or 0)
+        if every <= 0:
+            return None, None
+
+        def validate(step: int):
+            from ..eval.validate import run_validation
+
+            try:
+                run_validation(vc, step)
+            except Exception as e:  # validation must never kill training
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "validation at step %d failed: %s", step, e
+                )
+
+        return every, validate
+
     def build_system(self):
         if self._built:
             return

@@ -328,6 +328,7 @@ class CycleGAN(BaseSystem):
                 min_coefvar=float(src.get("min_coefvar") or 0.0),
                 data_name="real",
                 device=device,
+                seed=int(self.random_seed or 0),
             )
 
     def _sample_side(self, side: str, key) -> jax.Array:
@@ -625,9 +626,7 @@ class CycleGAN(BaseSystem):
         if self.freeze_norms_at is not None:
             phases = {int(self.freeze_norms_at): self.make_train_step(norm_train=False)}
         tk = dict(self.train_kwargs or {})
-        from .mtlsd import MTLSD
-
-        validate_every, validate_fn = MTLSD.make_validate_fn(self)
+        validate_every, validate_fn = self.make_validate_fn()
         self.trainer = Trainer(
             step_fn=self.make_train_step(),
             state=self.state,

@@ -329,6 +329,7 @@ class MTLSD(BaseSystem):
             self.sampler = DeviceVolumeSampler(
                 sources[0], crop_shape, mask_name=mask_name,
                 min_masked=rl.get("min_masked", 0.0), device=device,
+                seed=int(self.random_seed or 0),
             )
         else:
             from ..io.sampler import MultiSourceSampler
@@ -336,6 +337,7 @@ class MTLSD(BaseSystem):
             self.sampler = MultiSourceSampler(
                 sources, crop_shape, mask_name=mask_name,
                 min_masked=rl.get("min_masked", 0.0), device=device,
+                seed=int(self.random_seed or 0),
             )
 
     def _make_sample(self, key) -> Dict[str, jax.Array]:
@@ -453,10 +455,6 @@ class MTLSD(BaseSystem):
 
     # -- train step --------------------------------------------------------
     def make_train_step(self):
-        model, tx = self.model, self.tx
-        use_lsds = bool(self.lsd_kwargs)
-        use_bn = bool(self.batch_stats)
-
         if self.stream_mode:
             inner = self._make_apply_update()
 
@@ -566,32 +564,6 @@ class MTLSD(BaseSystem):
             return predict_on(state, self.make_batch(key))
 
         return snapshot_fn
-
-    def make_validate_fn(self):
-        """Training-time validation hook (parity: reference
-        ``BaseCompetentLoss.update_status:72-76`` firing ``run_validation``
-        every ``validate_every`` steps). Config key: ``validation_config``
-        (same meta-config surface as raygun-run-validation)."""
-        if not self.validation_config:
-            return None, None
-        vc = dict(self.validation_config)
-        every = int(vc.get("validate_every", 0) or 0)
-        if every <= 0:
-            return None, None
-
-        def validate(step: int):
-            from ..eval.validate import run_validation
-
-            try:
-                run_validation(vc, step)
-            except Exception as e:  # validation must never kill training
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "validation at step %d failed: %s", step, e
-                )
-
-        return every, validate
 
     def setup_trainer(self):
         tk = dict(self.train_kwargs or {})

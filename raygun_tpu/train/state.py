@@ -69,11 +69,38 @@ def save_checkpoint(basename: str, step: int, state: Any) -> str:
     return path
 
 
+def _migrate_conv_param_paths(node: Any) -> Any:
+    """Flatten the pre-uniform-layout conv param nesting: early checkpoints
+    stored ``ConvNd_i/Conv_0/{kernel,bias}`` (flax nn.Conv submodule) and
+    ``ConvTransposeNd_i/ConvTranspose_0/...``; the uniform layout puts
+    kernel/bias directly under ``ConvNd_i``/``ConvTransposeNd_i``."""
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        v = _migrate_conv_param_paths(v)
+        if (
+            isinstance(v, dict)
+            and len(v) == 1
+            and next(iter(v)) in ("Conv_0", "ConvTranspose_0")
+            and (k.startswith("ConvNd") or k.startswith("ConvTransposeNd"))
+        ):
+            v = next(iter(v.values()))
+        out[k] = v
+    return out
+
+
 def load_checkpoint(path: str, template: Any) -> Any:
     """Restore into a pytree of the same structure as ``template``."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError):
+        state_dict = _migrate_conv_param_paths(
+            serialization.msgpack_restore(data)
+        )
+        return serialization.from_state_dict(template, state_dict)
 
 
 def load_collection(path: str, name: str, template: Any) -> Optional[Any]:
@@ -94,6 +121,10 @@ def load_params_only(path: str, params_template: Any) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     state_dict = serialization.msgpack_restore(data)
-    if "params" in state_dict:
-        return serialization.from_state_dict(params_template, state_dict["params"])
-    return serialization.from_state_dict(params_template, state_dict)
+    node = state_dict.get("params", state_dict)
+    try:
+        return serialization.from_state_dict(params_template, node)
+    except (ValueError, KeyError):
+        return serialization.from_state_dict(
+            params_template, _migrate_conv_param_paths(node)
+        )

@@ -123,3 +123,32 @@ def test_profile_dir_writes_trace(tmp_path):
     files = _glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz")
                for f in files), files
+
+
+def test_legacy_conv_param_path_migration(tmp_path):
+    """Checkpoints from before the uniform ConvNd param layout (nested
+    nn.Conv submodules: ConvNd_0/Conv_0/kernel) still load."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from raygun_tpu.nn import ConvPass
+    from raygun_tpu.train.state import load_params_only
+
+    cp = ConvPass(output_nc=4, kernel_sizes=[(3, 3), (3, 3)])
+    x = jnp.zeros((1, 10, 10, 2))
+    params = cp.init(jax.random.PRNGKey(0), x)["params"]
+
+    # simulate the legacy layout: wrap each ConvNd's params in a Conv_0 level
+    legacy = {
+        k: ({"Conv_0": v} if k.startswith("ConvNd") else v)
+        for k, v in jax.device_get(params).items()
+    }
+    path = tmp_path / "legacy_checkpoint_100"
+    path.write_bytes(serialization.to_bytes({"params": legacy}))
+
+    loaded = load_params_only(str(path), params)
+    for k in params:
+        np.testing.assert_array_equal(
+            np.asarray(loaded[k]["kernel"]), np.asarray(params[k]["kernel"])
+        )
