@@ -98,6 +98,41 @@ def pick_best(scores: Dict[int, float], lower_is_better: bool = True):
     return int(best[0]), float(best[1])
 
 
+def plot_scores(
+    logs: Dict[str, Dict[int, float]],
+    bests: Optional[dict] = None,
+    save_path: Optional[str] = None,
+    title: str = "smoothed composite score",
+):
+    """Smoothed score curves per model with best-checkpoint markers
+    (capability: reference ``inspect_evals.plot_scores``/``plot_geo_mean``).
+    Headless-safe; written to ``save_path`` when given."""
+    import matplotlib
+
+    if save_path:
+        matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 5))
+    cmap = plt.get_cmap("tab10")
+    for i, (name, scores) in enumerate(sorted(logs.items())):
+        steps = sorted(scores)
+        ax.plot(steps, [scores[s] for s in steps], label=name,
+                color=cmap(i % 10))
+        if bests and name in bests:
+            b = bests[name]
+            ax.scatter([b["step"]], [b["score"]], marker="*", s=160,
+                       color=cmap(i % 10), zorder=5)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("score")
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+    return fig
+
+
 def inspect_logs(config=None) -> dict:
     """CLI body: walk a folder tree, aggregate each run's tensorboard scalars
     or metric JSONs, pick per-model best checkpoints, write
@@ -161,4 +196,13 @@ def inspect_logs(config=None) -> dict:
 
     to_json(model_logs, os.path.join(base, "model_logs.json"))
     to_json(bests, os.path.join(base, "model_logs_bests.json"))
+    if config.get("plot", True) and model_logs:
+        curves = {
+            name: {int(k): float(v) for k, v in ml["scores"].items()}
+            for name, ml in model_logs.items()
+        }
+        plot_scores(
+            curves, bests,
+            save_path=os.path.join(base, "model_logs_scores.png"),
+        )
     return bests

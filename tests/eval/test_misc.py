@@ -186,3 +186,21 @@ def test_inspect_tests_scatter(tmp_path):
     assert "ks" in result["significance"]
     assert os.path.exists(result["scatter"])
     assert os.path.getsize(result["scatter"]) > 1000
+
+
+def test_inspect_logs_score_plot(tmp_path):
+    """inspect_logs writes the score-curve figure alongside the bests JSON
+    (reference inspect_evals plot_scores capability)."""
+    import json as _json
+
+    from raygun_tpu.eval.inspect_logs import inspect_logs
+
+    d = tmp_path / "runA"
+    d.mkdir()
+    metrics = {str(it): {"nvi_split": 0.3 / (1 + it), "nvi_merge": 0.2}
+               for it in (1000, 2000, 3000)}
+    (d / "validation_metrics.json").write_text(_json.dumps(metrics))
+    bests = inspect_logs({"base_folder": str(tmp_path)})
+    assert bests
+    fig = tmp_path / "model_logs_scores.png"
+    assert fig.exists() and fig.stat().st_size > 1000
