@@ -54,6 +54,7 @@ class BaseSystem:
         "random_location_kwargs", "max_labels", "grow_boundary", "pad",
         "interp_order", "elastic_aug1_kwargs", "elastic_aug2_kwargs",
         "intensity_aug_kwargs", "stream", "stream_kwargs", "min_coefvar",
+        "matmul_precision",
         # optimization
         "optim_type", "optim_kwargs", "scheduler", "scheduler_kwargs",
         "g_optim_type", "g_optim_kwargs", "d_optim_type", "d_optim_kwargs",
@@ -94,6 +95,16 @@ class BaseSystem:
         if not hasattr(self, "random_seed") or self.random_seed is None:
             self.random_seed = 42
         self.seed_rngs()
+
+        # conv/matmul multiply precision: TPU defaults to bf16 multiplies
+        # even for fp32 arrays; set "matmul_precision": "float32" (or
+        # "tensorfloat32") for full-precision training when quality parity
+        # with the fp32 reference matters more than step time
+        mp = getattr(self, "matmul_precision", None)
+        if mp:
+            import jax
+
+            jax.config.update("jax_default_matmul_precision", str(mp))
 
         self.model_path = getattr(self, "model_path", "./models/")
         self.model_name = getattr(self, "model_name", "model")

@@ -217,3 +217,39 @@ def test_conv2d_s2d_matches_native():
         got = conv2d_s2d(x, w, precision="highest")
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_gradients_match_unpacked():
+    """Gradients through the packed/fused routes equal the unpacked path
+    (same params): forward parity is exact, so AD must agree too — this
+    guards against any routing-specific backward regression."""
+    from raygun_tpu.systems.mtlsd import MTLSDModel
+
+    base = dict(input_nc=1, ngf=2, fmap_inc_factor=3,
+                downsample_factors=[(2, 2, 2)], constant_upsample=True)
+    m_packed = MTLSDModel(unet_kwargs=base, num_affs=4, num_lsds=3)
+    m_plain = MTLSDModel(unet_kwargs={**base, "pack_level0": False,
+                                      "fuse_upsample": False},
+                         num_affs=4, num_lsds=3)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(1, 36, 36, 36, 1)).astype(np.float32)
+    )
+    params = m_packed.init(jax.random.PRNGKey(0), x, train=False)["params"]
+
+    def loss(model):
+        def f(p):
+            a, l = model.apply({"params": p}, x, train=True)
+            return jnp.sum(a ** 2) + jnp.sum((l - 0.3) ** 2)
+        return f
+
+    g_packed = jax.grad(loss(m_packed))(params)
+    g_plain = jax.grad(loss(m_plain))(params)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_packed)
+    flat_u = dict(jax.tree_util.tree_flatten_with_path(g_plain)[0])
+    assert len(flat_p) > 0
+    for path, leaf in flat_p:
+        ref = flat_u[path]
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(ref), atol=5e-4, rtol=1e-3,
+            err_msg=str(path),
+        )
