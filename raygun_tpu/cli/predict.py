@@ -81,6 +81,15 @@ def predict(render_config_path: str) -> List[str]:
     input_shape = render_config.get("input_shape") or train_config.get("input_shape")
     output_shape = render_config.get("output_shape") or train_config.get("output_shape")
     ndims = render_config["ndims"] or train_config.get("ndims") or source.ndims
+    if input_shape == "auto":
+        # probe the largest block that compiles on this device: bigger
+        # valid-conv blocks amortize the fixed network halo (the reference's
+        # fixed daisy block sizes never exploit this — docs/PERFORMANCE.md).
+        # Each candidate costs one compile; the winner is cached by XLA.
+        input_shape, output_shape = _auto_block_shape(
+            fwd, ndims, render_config.get("auto_block_candidates")
+        )
+        print(f"auto block: {input_shape} -> {output_shape}")
     if isinstance(input_shape, int):
         input_shape = (input_shape,) * ndims
     if isinstance(output_shape, int):
@@ -202,6 +211,35 @@ def predict(render_config_path: str) -> List[str]:
 
     write_ng_script(dest_path, list(outputs.values()), source_path, source_dataset)
     return [os.path.join(dest_path, d) for d in output_ds]
+
+
+def _auto_block_shape(fwd, ndims: int, candidates=None):
+    """Find the largest cubic block the compiled forward fits on this
+    device; returns (input_shape, output_shape). Valid-conv shape algebra
+    comes from an eval_shape probe; fit is checked by actually compiling."""
+    if candidates is None:
+        candidates = (
+            [420, 388, 324, 260, 196, 132] if ndims == 3
+            else [2048, 1024, 512, 256, 128]
+        )
+    last_err = None
+    for side in candidates:
+        shape = (1,) + (int(side),) * ndims + (1,)
+        try:
+            out = jax.eval_shape(
+                fwd, jax.ShapeDtypeStruct(shape, jnp.float32)
+            )
+            out_spatial = next(iter(jax.tree_util.tree_leaves(out))).shape[1:-1]
+            if any(o <= 0 for o in out_spatial):
+                continue
+            jax.jit(fwd).lower(
+                jax.ShapeDtypeStruct(shape, jnp.float32)
+            ).compile()
+            return (int(side),) * ndims, tuple(int(o) for o in out_spatial)
+        except Exception as e:  # too big for HBM (or invalid): try smaller
+            last_err = e
+            continue
+    raise RuntimeError(f"no auto block candidate compiled: {last_err}")
 
 
 def batch_predict(base_folder: str, config_name: str = "render_conf.json"):

@@ -82,3 +82,40 @@ def test_train_main_usage_error(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["raygun-train"])
     with pytest.raises(SystemExit):
         train_cli.main()
+
+
+def test_predict_auto_block(tmp_path, monkeypatch):
+    """render config input_shape: 'auto' probes the largest compiling block."""
+    from raygun_tpu.cli import predict as predict_cli
+    from raygun_tpu.cli import train as train_cli
+
+    src = make_segmentation_dataset(
+        str(tmp_path / "gt.zarr"), shape=(40, 40, 40), num_cells=6)
+    conf = _write_train_conf(tmp_path, src)
+    cwd = os.getcwd()
+    monkeypatch.setattr(sys, "argv", ["raygun-train", conf])
+    try:
+        train_cli.main()
+    finally:
+        os.chdir(cwd)
+
+    render = {
+        "config_path": "train_conf.json",
+        "source_path": src["path"],
+        "source_dataset": src["raw"],
+        "checkpoint": 2,
+        "input_shape": "auto",
+        "auto_block_candidates": [36, 28, 20],
+        "output_ds": ["pred_affs"],
+        "dest_path": str(tmp_path / "out.zarr"),
+        "scaleShift_input": [2, -1],
+    }
+    rp = tmp_path / "render_auto.json"
+    rp.write_text(json.dumps(render))
+    monkeypatch.setattr(sys, "argv", ["raygun-predict", str(rp)])
+    try:
+        predict_cli.main()
+    finally:
+        os.chdir(cwd)
+    affs = open_ds(str(tmp_path / "out.zarr"), "pred_affs").read()
+    assert np.isfinite(affs).all() and affs.shape[0] == 3
