@@ -191,7 +191,12 @@ class BlockwiseRunner:
                 has_channels = a.ndim == len(self.output_shape) + 1
                 a = self._crop_to_write(a, write, nominal_write)
                 if has_channels:
-                    a = np.moveaxis(a, -1, 0)  # channels-first on disk
+                    if vol.num_channels:
+                        a = np.moveaxis(a, -1, 0)  # channels-first on disk
+                    else:
+                        # single-channel net output into a channel-less
+                        # dataset (e.g. CycleGAN fake rendering)
+                        a = a[..., 0]
                 if vol.dtype != a.dtype:
                     a = _rescale_to_dtype(a, vol.dtype)
                 pending_writes.append((vol.write_async(write, a), vol, write, a))
