@@ -99,6 +99,12 @@ def predict(render_config_path: str) -> List[str]:
     crop = render_config["crop"]
     if crop:
         output_shape = tuple(o - 2 * crop for o in output_shape)
+    # 2D-in-3D section-wise rendering (reference render_eval0: a 2D
+    # generator over 3D volumes via (1, s, s) daisy blocks)
+    section_extra = source.ndims - len(input_shape)
+    if section_extra > 0:
+        input_shape = (1,) * section_extra + input_shape
+        output_shape = (1,) * section_extra + output_shape
 
     # destination datasets
     dest_path = render_config.get("dest_path") or os.path.join(
@@ -159,12 +165,25 @@ def predict(render_config_path: str) -> List[str]:
         crop_slices = (slice(None),) + (slice(crop, -crop),) * ndims + (slice(None),)
 
     def block_fn(x):
+        if section_extra > 0:
+            # blocks carry leading singleton axes squeezed around the 2D net
+            x = x.reshape((x.shape[0],) + x.shape[1 + section_extra:])
         outs = fwd(x)
         if crop_slices is not None:
             outs = {k: v[crop_slices] for k, v in outs.items()}
+        if section_extra > 0:
+            outs = {
+                k: v.reshape(v.shape[:1] + (1,) * section_extra + v.shape[1:])
+                for k, v in outs.items()
+            }
         return outs
 
     sharded = render_config["sharded"]
+    if sharded and section_extra > 0:
+        raise ValueError(
+            "sharded whole-volume inference does not support 2D-in-3D "
+            "section-wise rendering; use the blockwise path"
+        )
     if sharded:
         from ..distributed.blockwise import sharded_infer_volume
 

@@ -171,3 +171,65 @@ def test_cyclegan_render_main(tmp_path, monkeypatch):
     out_name = f"{src['B']}_netG2_2"
     fake = open_ds(str(tmp_path / "data.zarr"), out_name).read()
     assert fake.dtype == np.uint8 and fake.ndim == 2 and fake.size > 0
+
+
+def test_cyclegan_section_render_2d_in_3d(tmp_path, monkeypatch):
+    """A 2D generator rendered over a 3D volume section-wise through the
+    predict CLI (reference render_eval0: (1, s, s) daisy blocks)."""
+    from raygun_tpu.cli import predict as predict_cli
+    from raygun_tpu.core.roi import Roi
+    from raygun_tpu.io import make_cyclegan_dataset
+    from raygun_tpu.io.volume import prepare_ds
+    from raygun_tpu.systems.cyclegan import CycleGAN
+
+    src = make_cyclegan_dataset(
+        str(tmp_path / "data.zarr"), shape=(96, 96),
+        voxel_size_a=(90, 90), voxel_size_b=(90, 90))
+    cfg = {
+        "system": "CycleGAN",
+        "sources": {"A": {"path": src["path"], "name": src["A"]},
+                    "B": {"path": src["path"], "name": src["B"]}},
+        "common_voxel_size": [90, 90], "ndims": 2, "side_length": 32,
+        "batch_size": 1, "loss_type": "link", "gnet_type": "resnet",
+        "gnet_kwargs": {"input_nc": 1, "output_nc": 1, "ngf": 4,
+                        "n_blocks": 1, "n_downsampling": 1,
+                        "padding_type": "same", "final_activation": "tanh"},
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4}, "d_optim_kwargs": {"lr": 1e-4},
+        "model_path": str(tmp_path / "models") + "/",
+        "num_epochs": 2, "log_every": 1, "save_every": 2,
+    }
+    cpath = tmp_path / "train_conf.json"
+    cpath.write_text(json.dumps(cfg))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        system = CycleGAN(str(cpath))
+        system.build_system()
+        system.train()
+    finally:
+        os.chdir(cwd)
+
+    # 3D raw stack (z sections)
+    rng = np.random.default_rng(0)
+    vol3 = rng.integers(0, 255, (4, 64, 64)).astype(np.uint8)
+    roi3 = Roi((0, 0, 0), (4 * 90, 64 * 90, 64 * 90))
+    prepare_ds(str(tmp_path / "stack.zarr"), "raw", roi3, (90, 90, 90),
+               np.uint8).write(roi3, vol3)
+
+    render = {"config_path": "train_conf.json",
+              "source_path": str(tmp_path / "stack.zarr"),
+              "source_dataset": "raw", "net_name": "netG2",
+              "checkpoint": 2, "input_shape": 48, "output_shape": 48,
+              "ndims": 2,
+              "out_specs": {"fake": {"dtype": "uint8"}}}
+    rp = tmp_path / "render3d.json"
+    rp.write_text(json.dumps(render))
+    monkeypatch.setattr(sys, "argv", ["raygun-predict", str(rp)])
+    try:
+        predict_cli.main()
+    finally:
+        os.chdir(cwd)
+    fake = open_ds(str(tmp_path / "stack.zarr"), "raw_netG2_2").read()
+    assert fake.ndim == 3 and fake.shape[0] == 4 and fake.size > 0
