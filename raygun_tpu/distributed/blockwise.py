@@ -233,9 +233,13 @@ class BlockwiseRunner:
         pending_writes: List = []
 
         def claim_group():
+            # only the FIRST claim of a group may wait (for stale leases of
+            # dead workers); later claims fill the device batch
+            # opportunistically — waiting there would deadlock on the
+            # group's own fresh leases
             idxs = []
-            for _ in range(self.device_batch):
-                i = self.queue.next_block()
+            for k in range(self.device_batch):
+                i = self.queue.next_block(wait=(k == 0))
                 if i is None:
                     break
                 idxs.append(i)

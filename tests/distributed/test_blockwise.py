@@ -278,3 +278,30 @@ class TestFileClaimQueue:
         q2.mark_done(1)
         assert q2.next_block() is None
         assert q2.remaining() == 0
+
+    def test_queue_with_device_batch(self, tmp_path, net_and_params):
+        """device_batch > 1 in queue mode must not deadlock on the group's
+        own leases (27 blocks, batches of 4)."""
+        net, params = net_and_params
+        rng = np.random.default_rng(6)
+        data = rng.random((28, 28, 28)).astype(np.float32)
+        vx = Coordinate(10, 10, 10)
+        total = Roi((0, 0, 0), Coordinate((28, 28, 28)) * vx)
+        path = str(tmp_path / "in.zarr")
+        src = prepare_ds(path, "raw", total, vx, np.float32, delete=True)
+        src.write(total, data)
+        write_roi = total.grow(Coordinate(-20, -20, -20), Coordinate(-20, -20, -20))
+        dest = prepare_ds(path, "out", write_roi, vx, np.float32,
+                          num_channels=3, delete=True)
+        fwd = jax.jit(lambda x: {"out": net.apply({"params": params}, x)})
+        r = BlockwiseRunner(
+            source=open_ds(path, "raw"), outputs={"out": dest}, fn=fwd,
+            input_shape=(12, 12, 12), output_shape=(8, 8, 8),
+            device_batch=4, queue_dir=str(tmp_path / "q"),
+        )
+        s = r.run()
+        assert s["blocks"] == 27
+        out = open_ds(path, "out").read()
+        full = net.apply({"params": params}, jnp.asarray(data)[None, ..., None])
+        full = np.moveaxis(np.asarray(full[0]), -1, 0)
+        np.testing.assert_allclose(out, full, rtol=0, atol=1e-5)
