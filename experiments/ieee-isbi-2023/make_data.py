@@ -2,6 +2,8 @@
 
 import os
 
+import numpy as np
+
 from raygun_tpu.io.synthetic import make_cyclegan_dataset, make_segmentation_dataset
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -13,4 +15,27 @@ make_cyclegan_dataset(
 make_segmentation_dataset(
     os.path.join(HERE, "gt.zarr"), shape=(64, 96, 96), voxel_size=(30, 30, 30),
 )
-print("wrote data.zarr (A/B sides) and gt.zarr (labeled training cube)")
+
+# 90nm-acquisition stand-in on the same grid (reference 02_MTLSD/real/90nm
+# trains on the lower-resolution acquisition of the same sample): blurred
+# copy of the 30nm raw.
+from scipy.ndimage import gaussian_filter
+
+from raygun_tpu.io.volume import open_ds, prepare_ds
+
+raw = open_ds(os.path.join(HERE, "gt.zarr"), "volumes/raw")
+blurred = gaussian_filter(raw.read().astype(np.float32), sigma=1.5)
+v90 = prepare_ds(os.path.join(HERE, "gt.zarr"), "volumes/raw_90nm",
+                 raw.roi, raw.voxel_size, raw.dtype, delete=True)
+v90.write(raw.roi, blurred.astype(raw.dtype))
+
+# synthetic skeleton GT so the validation/test-eval configs run end-to-end
+# (production runs replace these with webknossos annotation downloads)
+from raygun_tpu.io.synthetic import make_skeleton_nml
+
+labels = open_ds(os.path.join(HERE, "gt.zarr"), "volumes/labels").read()
+for sub in ("02_MTLSD", "03_evaluate"):
+    make_skeleton_nml(labels, os.path.join(HERE, sub, "skeleton.nml"))
+
+print("wrote data.zarr (A/B sides), gt.zarr (labeled training cube "
+      "+ 90nm stand-in), and synthetic skeleton.nml GT")

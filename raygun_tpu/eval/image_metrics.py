@@ -18,6 +18,7 @@ import numpy as np
 from scipy import ndimage
 
 from ..core.config import read_config, to_json
+from ..core.roi import Coordinate
 from ..io.volume import open_ds
 
 logger = logging.getLogger(__name__)
@@ -92,17 +93,49 @@ _METRICS = {
 }
 
 
+def _nearest_upsample_to(arr: np.ndarray, shape) -> np.ndarray:
+    """Integer nearest-neighbour upsample of ``arr`` to ``shape`` (no-op if
+    already at least as fine on every axis)."""
+    reps = []
+    for s, t in zip(arr.shape, shape):
+        if t <= s:
+            return arr
+        assert t % s == 0, (
+            f"cannot compare shapes {arr.shape} vs {tuple(shape)}: "
+            "voxel sizes are not integer multiples"
+        )
+        reps.append(t // s)
+    for axis, r in enumerate(reps):
+        if r > 1:
+            arr = np.repeat(arr, r, axis=axis)
+    return arr
+
+
 def image_compare(test, target, metrics=None, roi=None, crop=None) -> dict:
     """ROI-intersected metrics over two Volumes (parity: reference
-    ``image_compare.py:12-35``)."""
+    ``image_compare.py:12-35``).
+
+    Beyond the reference: the volumes may live on different voxel grids
+    (e.g. a fake-30nm render stored at the 90nm acquisition grid vs the
+    real 30nm target). The intersected ROI is snapped inward to both grids
+    and the coarser image is nearest-upsampled to the finer one when the
+    voxel sizes are integer multiples."""
     metrics = metrics or list(_METRICS)
     if roi is None:
         roi = test.roi.intersect(target.roi)
     if crop is not None:
         shrink = target.voxel_size * crop
         roi = roi.grow(-shrink, -shrink)
+    grid = Coordinate(
+        int(np.lcm(int(t), int(g)))
+        for t, g in zip(test.voxel_size, target.voxel_size)
+    )
+    roi = roi.snap_to_grid(grid, mode="shrink")
     a = test.read(roi)
     b = target.read(roi)
+    if a.shape != b.shape:
+        a = _nearest_upsample_to(a, b.shape)
+        b = _nearest_upsample_to(b, a.shape)
     results = {}
     for metric in metrics:
         results[metric] = _METRICS[metric](b, a)
@@ -114,7 +147,8 @@ def images_compare(config=None):
     """CLI body (parity: reference ``image_compare.py:38-60``)."""
     if config is None:
         config = sys.argv[1]
-    config = read_config(config)
+    if isinstance(config, str):
+        config = read_config(config)
     target = open_ds(config["target_source"]["path"], config["target_source"]["ds"])
     crop = config.get("crop")
     results = {}

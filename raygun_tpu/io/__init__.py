@@ -1,6 +1,7 @@
 from .volume import Volume, open_ds, prepare_ds
 from .synthetic import (
-    make_segmentation_dataset, make_cyclegan_dataset, synthetic_labels,
+    make_segmentation_dataset, make_cyclegan_dataset, make_skeleton_nml,
+    synthetic_labels,
     synthetic_raw_from_labels,
 )
 from .targets import (

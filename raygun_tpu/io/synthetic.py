@@ -137,3 +137,30 @@ def make_cyclegan_dataset(
         "A": "volumes/raw_30nm",
         "B": "volumes/raw_90nm",
     }
+
+
+def make_skeleton_nml(labels: np.ndarray, path: str, n_trees: int = 6) -> str:
+    """Synthetic skeleton GT: one straight in-plane line per label through
+    its centroid, written as a webknossos NML file (positions in xyz voxels
+    — the convention :func:`raygun_tpu.eval.skeleton.parse_nml` reads and
+    the reference's annotation zips use, reference ``skeleton.py:18-40``)."""
+    lines = ['<?xml version="1.0"?>', "<things>"]
+    ids = [i for i in np.unique(labels) if i != 0][:n_trees]
+    for label in ids:
+        zz, yy, xx = np.where(labels == label)
+        cz, cy = int(np.median(zz)), int(np.median(yy))
+        row = labels[cz, cy, :]
+        xs = np.where(row == label)[0]
+        if len(xs) < 2:
+            continue
+        lines.append(f'  <thing id="{int(label)}">')
+        lines.append("    <nodes>")
+        lines.append(f'      <node id="1" x="{int(xs[0])}" y="{cy}" z="{cz}"/>')
+        lines.append(f'      <node id="2" x="{int(xs[-1])}" y="{cy}" z="{cz}"/>')
+        lines.append("    </nodes>")
+        lines.append('    <edges><edge source="1" target="2"/></edges>')
+        lines.append("  </thing>")
+    lines.append("</things>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path

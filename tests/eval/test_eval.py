@@ -67,6 +67,34 @@ class TestImageMetrics:
             "normalized_root_mse", "peak_signal_noise_ratio", "structural_similarity"
         }
 
+    def test_image_compare_mixed_voxel_size(self, tmp_path):
+        """A render stored at the coarse acquisition grid compares against a
+        fine-grid target: the ROI snaps to both grids and the coarse image
+        is nearest-upsampled (capability beyond the reference, which assumes
+        equal voxel sizes)."""
+        p = str(tmp_path / "x.zarr")
+        g = np.linspace(0, 1, 24, dtype=np.float32)
+        fine = (g[:, None] + g[None, :]) / 2  # smooth ramp
+        v_fine = prepare_ds(p, "fine", Roi((0, 0), (720, 720)),
+                            Coordinate(30, 30), np.float32, delete=True)
+        v_fine.write(v_fine.roi, fine)
+        # coarse volume: 3x the voxel size, nearest-downsampled content
+        v_coarse = prepare_ds(p, "coarse", Roi((0, 0), (2160, 2160)),
+                              Coordinate(90, 90), np.float32, delete=True)
+        v_coarse.write(v_coarse.roi, np.zeros((24, 24), np.float32))
+        coarse_overlap = fine[::3, ::3]  # 8x8 voxels over the 720^2 overlap
+        v_coarse.write(Roi((0, 0), (720, 720)), coarse_overlap)
+        res = image_compare(v_coarse, v_fine)
+        # nearest-upsampled smooth ramp stays close to the fine original
+        assert np.isfinite(res["peak_signal_noise_ratio"])
+        assert res["normalized_root_mse"] < 0.1
+        # identical content at matching grids stays a perfect match
+        v_same = prepare_ds(p, "same", Roi((0, 0), (720, 720)),
+                            Coordinate(90, 90), np.float32, delete=True)
+        v_same.write(v_same.roi, coarse_overlap)
+        res2 = image_compare(v_same, v_coarse, roi=Roi((0, 0), (720, 720)))
+        assert res2["normalized_root_mse"] == 0.0
+
 
 class TestSkeleton:
     def test_line_nd_diagonal(self):

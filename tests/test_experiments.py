@@ -37,11 +37,34 @@ def test_all_configs_parse(experiment_dir):
     from raygun_tpu.core.config import read_config
 
     from glob import glob
-    confs = glob(os.path.join(experiment_dir, "**", "*conf*.json"), recursive=True)
-    assert len(confs) >= 15
+    confs = glob(os.path.join(experiment_dir, "**", "*.json"), recursive=True)
+    # full reference recipe shape: per-seed renders, per-variant validation,
+    # 19 train x test eval pairs (reference ships 129 configs incl. result
+    # JSONs; we ship the ~90 input configs and generate results by running)
+    assert len(confs) >= 90
     for c in confs:
         cfg = read_config(c)
         assert isinstance(cfg, dict) and cfg
+
+
+def test_validation_leaf_resolves_source_placeholder(experiment_dir):
+    """The per-variant validate_eval0 leaves resolve ``$source_dataset``
+    against that variant's training sources (reference
+    validate_affinities.py:34-60 machinery)."""
+    from raygun_tpu.eval.validate import update_validation_configs
+
+    leaf = os.path.join(experiment_dir, "02_MTLSD", "train_fake",
+                        "link_seed3", "validate_eval0_config.json")
+    cfg = update_validation_configs(leaf, iter=2000)
+    assert cfg["predict_config"]["source_dataset"] == "volumes/raw_fake_link_seed3"
+    assert cfg["predict_config"]["checkpoint"] == 2000
+    assert cfg["checkpoint"] == 2000
+    # per-variant isolation: resolved configs + outputs live in the leaf dir
+    leaf_dir = os.path.dirname(leaf)
+    assert cfg["metric_path"].startswith(leaf_dir)
+    assert cfg["predict_config"]["dest_path"].startswith(leaf_dir)
+    assert cfg["segment_config"]["file"] == cfg["predict_config"]["dest_path"]
+    assert os.path.isfile(os.path.join(leaf_dir, "predict_resolved.json"))
 
 
 def test_cyclegan_config_builds_and_steps(experiment_dir):
@@ -73,7 +96,8 @@ def test_mtlsd_real_and_fake_configs_build(experiment_dir):
                       raw.voxel_size, raw.dtype, delete=True)
     fake.write(raw.roi, raw.read())
 
-    for rel in ("train_real", os.path.join("train_fake", "link_seed3")):
+    for rel in ("train_real", "train_real_90nm",
+                os.path.join("train_fake", "link_seed3")):
         conf = os.path.join(experiment_dir, "02_MTLSD", rel, "train_conf.json")
         cwd = os.getcwd()
         os.chdir(os.path.dirname(conf))

@@ -14,30 +14,7 @@ from raygun_tpu.io import make_segmentation_dataset, open_ds
 from raygun_tpu.systems import load_system
 
 
-def make_skeleton_nml(labels: np.ndarray, path: str, n_trees: int = 6):
-    """Synthetic skeleton GT: one straight in-plane line per label through
-    its centroid (webknossos NML format, positions in xyz voxels)."""
-    lines = ['<?xml version="1.0"?>', "<things>"]
-    ids = [i for i in np.unique(labels) if i != 0][:n_trees]
-    for label in ids:
-        zz, yy, xx = np.where(labels == label)
-        cz, cy = int(np.median(zz)), int(np.median(yy))
-        row = labels[cz, cy, :]
-        xs = np.where(row == label)[0]
-        if len(xs) < 2:
-            continue
-        x0, x1 = int(xs[0]), int(xs[-1])
-        lines.append(f'  <thing id="{int(label)}">')
-        lines.append("    <nodes>")
-        lines.append(f'      <node id="1" x="{x0}" y="{cy}" z="{cz}"/>')
-        lines.append(f'      <node id="2" x="{x1}" y="{cy}" z="{cz}"/>')
-        lines.append("    </nodes>")
-        lines.append('    <edges><edge source="1" target="2"/></edges>')
-        lines.append("  </thing>")
-    lines.append("</things>")
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
-    return path
+from raygun_tpu.io.synthetic import make_skeleton_nml  # noqa: E402
 
 
 @pytest.mark.slow
