@@ -166,7 +166,7 @@ def main():
 
 
 
-def _cyclegan_steps_per_sec(jax):
+def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     """CycleGAN train step throughput + MFU.
 
     Measured ceiling analysis (TPU v5e, scripts/perf_cyclegan.py + shell
@@ -188,7 +188,6 @@ def _cyclegan_steps_per_sec(jax):
     from raygun_tpu.nn import NLayerDiscriminator, ResNet
     from raygun_tpu.systems.cyclegan import gan_loss, smooth_l1
 
-    side, batch = 256, 3
     gen = ResNet(ndims=2, input_nc=1, output_nc=1, ngf=64, n_blocks=6,
                  padding_type="same")
     disc = NLayerDiscriminator(ndims=2, input_nc=1, ngf=64, n_layers=3,
