@@ -111,13 +111,13 @@ def predict(render_config_path: str) -> List[str]:
         os.path.dirname(config_path), os.path.basename(source_path)
     )
     output_ds = render_config["output_ds"]
+    # when the render config omits 'checkpoint', name outputs after the
+    # iteration predict_setup actually resolved (never "..._None")
+    ckpt_label = checkpoint
+    if ckpt_label is None:
+        ckpt_label = getattr(system, "resolved_iteration", None)
     if output_ds is None:
         suffix = f"_{net_name}" if net_name else ""
-        # when the render config omits 'checkpoint', name outputs after the
-        # iteration predict_setup actually resolved (never "..._None")
-        ckpt_label = checkpoint
-        if ckpt_label is None:
-            ckpt_label = getattr(system, "resolved_iteration", None)
         output_ds = [
             f"{source_dataset}{suffix}_{ckpt_label}_{key}" if len(output_spec) > 1
             else f"{source_dataset}{suffix}_{ckpt_label}"
@@ -228,7 +228,8 @@ def predict(render_config_path: str) -> List[str]:
         f"compute {stats['compute_s']:.1f}s, write {stats['write_s']:.1f}s"
     )
 
-    write_ng_script(dest_path, list(outputs.values()), source_path, source_dataset)
+    write_ng_script(dest_path, list(outputs.values()), source_path,
+                    source_dataset, checkpoint=ckpt_label)
     return [os.path.join(dest_path, d) for d in output_ds]
 
 
@@ -286,17 +287,22 @@ def batch_main():
     batch_predict(sys.argv[1], *(sys.argv[2:3] or []))
 
 
-def write_ng_script(dest_path, volumes, source_path, source_dataset):
-    """Neuroglancer view script (parity: reference ``predict.py:172-189``)."""
+def write_ng_script(dest_path, volumes, source_path, source_dataset,
+                    checkpoint=None):
+    """Neuroglancer view script (parity: reference ``predict.py:172-189``);
+    records the RESOLVED checkpoint so a view script is traceable to the
+    exact weights that produced its layers."""
     script = os.path.join(dest_path + ".ng")
     layers = "\n".join(
         f"# layer: {v.path}/{v.ds_name}" for v in volumes
     )
+    ckpt_line = f"# checkpoint: {checkpoint}\n" if checkpoint is not None else ""
     with open(script, "w") as f:
         f.write(
             "#!/usr/bin/env python\n"
             "# neuroglancer view script (auto-generated)\n"
             f"# source: {source_path}/{source_dataset}\n"
+            f"{ckpt_line}"
             f"{layers}\n"
             "import neuroglancer  # requires neuroglancer installed\n"
             "# open the datasets above with your preferred viewer\n"

@@ -320,7 +320,7 @@ def make_sharded_infer_1d(
     growing the input ROI). Input array is sharded along ``spatial_axis``;
     output comes back sharded the same way.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     in_spec = P(*([None] * spatial_axis + [axis_name]))
     out_spec = in_spec
@@ -369,7 +369,7 @@ def make_sharded_infer(
     and must be cropped by the caller; :func:`sharded_infer_volume`
     arranges the read ROI so they fall outside the write region).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     names = list(mesh.axis_names)
     if spatial_axes is None:

@@ -15,6 +15,15 @@ filesystem (zarr chunks); this queue puts the control plane there too:
 
 Workers need no rank assignment and can join/leave at any time — the
 elastic property daisy's worker pool had, minus its server.
+
+Cost model (matches daisy's server-side O(1) dispatch): claims are
+O(1) amortized, not O(N) per claim.  Each worker walks the block range
+ONCE with a private cursor, started at a worker-id-derived stripe offset
+so concurrent workers fan out over disjoint regions instead of racing at
+block 0; blocks observed ``.done`` are cached and never stat'ed again;
+the stale-lease sweep (the only remaining O(N) scan) runs only once the
+fresh pass is exhausted — i.e. near the end of the volume, when the scan
+is also the completeness check the caller needs anyway.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+import zlib
 from typing import Optional
 
 class FileClaimQueue:
@@ -37,12 +47,25 @@ class FileClaimQueue:
         self.lease_timeout = float(lease_timeout)
         self.worker_id = worker_id or uuid.uuid4().hex[:8]
         os.makedirs(queue_dir, exist_ok=True)
+        # stripe start: spreads concurrent workers across the range so
+        # fresh-pass claim attempts rarely collide
+        self._start = zlib.crc32(self.worker_id.encode()) % max(self.n, 1)
+        self._fresh = 0  # blocks consumed from this worker's fresh pass
+        self._known_done = bytearray(self.n)  # .done files never disappear
 
     def _lease(self, i: int) -> str:
         return os.path.join(self.dir, f"block_{i}.lease")
 
     def _done(self, i: int) -> str:
         return os.path.join(self.dir, f"block_{i}.done")
+
+    def _is_done(self, i: int) -> bool:
+        if self._known_done[i]:
+            return True
+        if os.path.exists(self._done(i)):
+            self._known_done[i] = 1
+            return True
+        return False
 
     def _try_claim(self, i: int) -> bool:
         try:
@@ -70,14 +93,20 @@ class FileClaimQueue:
         return self._try_claim(i)
 
     def _sweep(self) -> Optional[int]:
-        for i in range(self.n):
-            if os.path.exists(self._done(i)):
+        # fresh pass: each block is visited AT MOST ONCE over this worker's
+        # lifetime — claims are O(1) amortized instead of O(N) each
+        while self._fresh < self.n:
+            i = (self._start + self._fresh) % self.n
+            self._fresh += 1
+            if self._is_done(i):
                 continue
             if self._try_claim(i):
                 return i
-        # second sweep: reclaim stale leases of dead workers
-        for i in range(self.n):
-            if os.path.exists(self._done(i)):
+        # fresh pass exhausted: every undone block is leased by someone.
+        # Sweep for stale leases of dead workers (failed-shard reissue).
+        for off in range(self.n):
+            i = (self._start + off) % self.n
+            if self._is_done(i):
                 continue
             if self._try_reclaim_stale(i):
                 return i
@@ -105,8 +134,9 @@ class FileClaimQueue:
         with open(tmp, "w") as f:
             f.write(self.worker_id)
         os.replace(tmp, self._done(i))
+        self._known_done[i] = 1
 
     def remaining(self) -> int:
-        return sum(
-            1 for i in range(self.n) if not os.path.exists(self._done(i))
-        )
+        # done-ness is monotone, so blocks already observed done skip the
+        # filesystem entirely; only still-undone blocks are stat'ed
+        return sum(1 for i in range(self.n) if not self._is_done(i))

@@ -52,6 +52,8 @@ def peak_signal_noise_ratio(target: np.ndarray, test: np.ndarray,
     if data_range is None:
         data_range = _data_range(target)
     mse = np.mean((target.astype(np.float64) - test.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")  # identical images: PSNR is +inf by convention
     return float(10.0 * np.log10(data_range**2 / mse))
 
 

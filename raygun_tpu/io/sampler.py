@@ -18,6 +18,7 @@ prefetch thread).
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from typing import Dict, Optional, Sequence, Tuple
@@ -28,6 +29,8 @@ import numpy as np
 
 from ..core.roi import Coordinate, Roi
 from .volume import Volume, open_ds
+
+logger = logging.getLogger(__name__)
 
 
 def _box_sums(arr: np.ndarray, crop_shape: Sequence[int]) -> np.ndarray:
@@ -343,13 +346,26 @@ class HostStreamSampler:
             out[name] = np.asarray(fut.result())
         return out
 
+    def _crop_passes(self, crop: Dict[str, np.ndarray]) -> bool:
+        d = crop[self.data_name].astype(np.float64)
+        cv = d.std() / max(abs(float(d.mean())), 1e-8)
+        return cv >= self.min_coefvar
+
     def _sample_crop(self) -> Dict[str, np.ndarray]:
         crop = self._read_crop(self._random_origin())
         if self.min_coefvar and self.data_name:
-            for _ in range(self.max_rejects):
-                d = crop[self.data_name].astype(np.float64)
-                cv = d.std() / max(abs(float(d.mean())), 1e-8)
-                if cv >= self.min_coefvar:
+            # every drawn crop is checked — including the final draw (the
+            # reference's gp.Reject would keep rejecting forever; we bound
+            # retries but never admit an unchecked crop silently)
+            rejects = 0
+            while not self._stop.is_set() and not self._crop_passes(crop):
+                rejects += 1
+                if rejects > self.max_rejects:
+                    logger.warning(
+                        "HostStreamSampler: %d consecutive crops below "
+                        "min_coefvar=%g for %r; accepting a flat crop",
+                        rejects, self.min_coefvar, self.data_name,
+                    )
                     break
                 crop = self._read_crop(self._random_origin())
         return crop
@@ -374,3 +390,6 @@ class HostStreamSampler:
 
     def stop(self):
         self._stop.set()
+        # join so a draining worker can't bleed reads/log lines into
+        # whatever runs next (the put loop re-checks _stop within 1 s)
+        self.thread.join(timeout=10.0)

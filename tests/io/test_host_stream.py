@@ -55,6 +55,55 @@ def test_host_stream_mask_constraint(tmp_path):
         sampler.stop()
 
 
+def test_host_stream_min_coefvar_checks_final_crop(tmp_path, caplog):
+    """Every drawn crop is checked — after max_rejects flat draws the
+    sampler must WARN rather than silently admit an unchecked crop
+    (VERDICT r2 off-by-one; reference CycleDataPipe.py:118-131)."""
+    import logging
+
+    path = str(tmp_path / "flat.zarr")
+    vx = Coordinate(10, 10)
+    roi = Roi((0, 0), (320, 320))
+    raw = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    raw.write(roi, np.full((32, 32), 0.5, np.float32))  # perfectly flat
+
+    with caplog.at_level(logging.WARNING, logger="raygun_tpu.io.sampler"):
+        sampler = HostStreamSampler(
+            {"raw": open_ds(path, "raw")},
+            crop_shape=(8, 8), batch_size=1, prefetch=1, seed=3,
+            min_coefvar=0.1, data_name="raw", max_rejects=3,
+        )
+        try:
+            batch = sampler.next()  # bounded: returns despite all-flat volume
+            assert batch["raw"].shape == (1, 8, 8)
+        finally:
+            sampler.stop()
+    assert any("flat crop" in r.message for r in caplog.records)
+
+
+def test_host_stream_min_coefvar_passes_quietly(tmp_path, caplog):
+    """Textured crops pass the coefvar check with no warning."""
+    import logging
+
+    path = str(tmp_path / "tex.zarr")
+    vx = Coordinate(10, 10)
+    roi = Roi((0, 0), (320, 320))
+    raw = prepare_ds(path, "raw", roi, vx, np.float32, delete=True)
+    raw.write(roi, np.random.default_rng(0).random((32, 32)).astype(np.float32))
+
+    with caplog.at_level(logging.WARNING, logger="raygun_tpu.io.sampler"):
+        sampler = HostStreamSampler(
+            {"raw": open_ds(path, "raw")},
+            crop_shape=(8, 8), batch_size=1, prefetch=1, seed=3,
+            min_coefvar=0.1, data_name="raw", max_rejects=3,
+        )
+        try:
+            sampler.next()
+        finally:
+            sampler.stop()
+    assert not any("flat crop" in r.message for r in caplog.records)
+
+
 def test_blockwise_retries(tmp_path):
     """A flaky block function succeeds within max_retries (daisy's
     max_retries capability, reference predict.py:31,161)."""

