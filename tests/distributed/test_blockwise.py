@@ -117,7 +117,7 @@ class TestHaloExchange:
         gathered = shard_map(
             lambda s: halo_exchange_1d(s, h, "block", axis=0),
             mesh=mesh, in_specs=(P("block"),), out_specs=P("block"),
-            check_rep=False,
+            check_vma=False,
         )(x)
         # per-shard size with halo: Z/n + 2h; global concat: Z + n*2h
         assert gathered.shape == (Z + n * 2 * h, 4, 4)
