@@ -16,7 +16,7 @@ from typing import Callable, Optional, Sequence, Union
 from flax import linen as nn
 
 from .layers import Array, ConvNd, get_activation, make_norm
-from .unet import _apply_norm
+from .unet import _apply_norm, _apply_norm_act
 
 
 class NLayerDiscriminator(nn.Module):
@@ -77,8 +77,9 @@ class NLayerDiscriminator(nn.Module):
                 name=f"conv_{n}",
             )(h)
             if norm_ctor is not None:
-                h = _apply_norm(norm_ctor, h, train)
-            h = lrelu(h)
+                h = _apply_norm_act(norm_ctor, h, train, "leakyrelu")
+            else:
+                h = lrelu(h)
 
         nf_mult = min(2**self.n_layers, 8)
         h = ConvNd(
@@ -90,8 +91,9 @@ class NLayerDiscriminator(nn.Module):
             name=f"conv_{self.n_layers}",
         )(h)
         if norm_ctor is not None:
-            h = _apply_norm(norm_ctor, h, train)
-        h = lrelu(h)
+            h = _apply_norm_act(norm_ctor, h, train, "leakyrelu")
+        else:
+            h = lrelu(h)
 
         h = ConvNd(
             features=1, kernel_size=(self.kw,) * nd, strides=1, padding=1,

@@ -64,6 +64,15 @@ def _pallas_instance_norm_ok(x: Array) -> bool:
         return False
     if x.ndim < 3:
         return False
+    # below ~2M elements the pallas call overhead (5 kernels per fwd+bwd)
+    # exceeds what the fused passes save — XLA's fused elementwise wins
+    # (measured: 3x256^2 CycleGAN step regressed 12.1 -> 10.8 steps/s with
+    # pallas IN on its 64^2x256 block tensors)
+    n = 1
+    for s in x.shape:
+        n *= s
+    if n < (1 << 21):
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
@@ -460,6 +469,72 @@ def conv_transpose_s2_subpixel(x: Array, kernel: Array, precision=None) -> Array
     return depth_to_space(y, (2,) * nd)
 
 
+@jax.custom_vjp
+def conv_s2_p1_k3(x: Array, kernel: Array) -> Array:
+    """2D conv, kernel 3x3, stride 2, zero-pad 1 (the CycleGAN down convs)
+    with an EXACT custom VJP: XLA's autodiff backward for strided convs is
+    a zero-dilated conv (75% wasted MACs on inserted zeros + a poor
+    emitter); here dx runs the subpixel transposed-conv route and dw the
+    packed formulation's own adjoint — both exact re-expressions of the
+    same math (parity-tested values and grads, tests/nn/test_conv_vjp.py).
+    Measured fwd+bwd at 3x512^2 64->128: see docs/PERFORMANCE.md (native
+    fwd 1.76 ms beats the packed-s2d fwd 3.74 ms at this shape — the
+    packing transposes cost more than the lane padding they save)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=conv_dimension_numbers_nd(2),
+    )
+
+
+def _conv_s2_fwd(x, kernel):
+    return conv_s2_p1_k3(x, kernel), (x, kernel)
+
+
+def _conv_s2_bwd(res, g):
+    x, kernel = res
+    wt = jnp.flip(kernel, (0, 1)).swapaxes(-1, -2)
+    dx = conv_transpose_s2_subpixel(g, wt)
+    if dx.shape[1:3] != x.shape[1:3]:
+        dx = dx[:, : x.shape[1], : x.shape[2], :]
+    _, vjp_w = jax.vjp(
+        lambda w_: jax.lax.conv_general_dilated(
+            x, w_, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=conv_dimension_numbers_nd(2)), kernel)
+    (dw,) = vjp_w(g)
+    return dx, dw
+
+
+conv_s2_p1_k3.defvjp(_conv_s2_fwd, _conv_s2_bwd)
+
+
+@jax.custom_vjp
+def conv_t_s2_subpixel_vjp(x: Array, kernel: Array) -> Array:
+    """2D transposed conv (kernel 3, stride 2, padding 1, output_padding 1
+    — the CycleGAN/ResNet upsampler) via the subpixel route, with an EXACT
+    custom VJP whose dx is the packed stride-2 conv of the upstream grad
+    (the two routes are each other's adjoints)."""
+    return conv_transpose_s2_subpixel(x, kernel)
+
+
+def _conv_t_fwd(x, kernel):
+    return conv_transpose_s2_subpixel(x, kernel), (x, kernel)
+
+
+def _conv_t_bwd(res, g):
+    x, kernel = res
+    wt = jnp.flip(kernel, (0, 1)).swapaxes(-1, -2)
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dx = conv_stride2_s2d(gp, wt)
+    if dx.shape[1:3] != x.shape[1:3]:
+        dx = dx[:, : x.shape[1], : x.shape[2], :]
+    _, vjp_w = jax.vjp(lambda w_: conv_transpose_s2_subpixel(x, w_), kernel)
+    (dw,) = vjp_w(g)
+    return dx, dw
+
+
+conv_t_s2_subpixel_vjp.defvjp(_conv_t_fwd, _conv_t_bwd)
+
+
 def fold_upsample_kernel(kernel: Array, factors: Sequence[int]) -> Array:
     """Fold a conv kernel across a nearest-neighbor upsample:
     ``conv(nearest_up(g, f), W) == depth_to_space(conv(g, fold(W, f)), f)``
@@ -588,7 +663,13 @@ class ConvNd(nn.Module):
                 nd == 2
                 and all(s == 1 for s in strides)
                 and self.feature_group_count == 1
-                and min(cin, self.features) <= ZDECOMP_MAX_MIN_CHANNELS
+                # OUTPUT channels small (e.g. the CycleGAN head 64->1):
+                # packing beats native 3.1x measured. When only the INPUT
+                # is small (stem 1->64) the d2s transposes in the backward
+                # cost more than the lane padding they save — native wins
+                # 3.5x there (scripts/perf_cyclegan_stages.py, fwd+bwd
+                # 3x512^2: head 7.2 vs 22.4 ms, stem 8.2 vs 2.3 ms)
+                and self.features <= ZDECOMP_MAX_MIN_CHANNELS
                 and all(kk > 1 for kk in self.kernel_size)
             ):
                 route = "s2d2d"
@@ -615,9 +696,21 @@ class ConvNd(nn.Module):
                 x = pad_spatial(x, pads, "zeros")
             y = conv2d_s2d(x, k)
         elif route == "stride2":
-            if has_pad:
-                x = pad_spatial(x, pads, "zeros")
-            y = conv_stride2_s2d(x, k)
+            if (
+                nd == 2
+                and tuple(self.kernel_size) == (3, 3)
+                and pads == [(1, 1), (1, 1)]
+                # the subpixel dx needs MXU-viable channel counts on both
+                # sides (the PatchGAN stem 1->64 regressed under it)
+                and min(cin, self.features) >= 32
+            ):
+                # the CycleGAN down conv: exact custom-VJP route (subpixel
+                # dx instead of XLA's zero-dilated backward)
+                y = conv_s2_p1_k3(x, k)
+            else:
+                if has_pad:
+                    x = pad_spatial(x, pads, "zeros")
+                y = conv_stride2_s2d(x, k)
         else:
             y = conv_nd(
                 x, k, strides,
@@ -671,7 +764,11 @@ class ConvTransposeNd(nn.Module):
             and strides == (2,) * nd
             and p == 1 and op == 1
         ):
-            y = conv_transpose_s2_subpixel(x, k)
+            if nd == 2:
+                # exact custom-VJP: dx via the packed stride-2 route
+                y = conv_t_s2_subpixel_vjp(x, k)
+            else:
+                y = conv_transpose_s2_subpixel(x, k)
         else:
             y = jax.lax.conv_transpose(
                 x, k, strides, "VALID",

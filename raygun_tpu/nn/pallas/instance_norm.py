@@ -83,6 +83,22 @@ def _normalize_kernel(x_ref, mean_ref, rstd_ref, y_ref):
     y_ref[0] = ((xb - m[None, :]) * r[None, :]).astype(y_ref.dtype)
 
 
+def _normalize_act_kernel(slope, x_ref, mean_ref, rstd_ref, y_ref):
+    xb = x_ref[0].astype(jnp.float32)
+    m = mean_ref[0, 0, :]
+    r = rstd_ref[0, 0, :]
+    yhat = (xb - m[None, :]) * r[None, :]
+    y_ref[0] = jnp.where(yhat > 0, yhat, slope * yhat).astype(y_ref.dtype)
+
+
+def _normalize_add_kernel(x_ref, res_ref, mean_ref, rstd_ref, y_ref):
+    xb = x_ref[0].astype(jnp.float32)
+    rb = res_ref[0].astype(jnp.float32)
+    m = mean_ref[0, 0, :]
+    r = rstd_ref[0, 0, :]
+    y_ref[0] = ((xb - m[None, :]) * r[None, :] + rb).astype(y_ref.dtype)
+
+
 def _moments(x3: Array, eps: float) -> Tuple[Array, Array]:
     """Per-(b, c) mean and rsqrt(var + eps), fp32, via the stats kernel."""
     B, S, C = x3.shape
@@ -103,21 +119,34 @@ def _moments(x3: Array, eps: float) -> Tuple[Array, Array]:
     return mean, rstd
 
 
-def _normalize(x3: Array, mean: Array, rstd: Array) -> Array:
+def _tile_spec(C):
+    return pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _chan_spec(C):
+    return pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
+               residual: Array = None) -> Array:
     B, S, C = x3.shape
+    if residual is not None:
+        return pl.pallas_call(
+            _normalize_add_kernel,
+            grid=(B, _grid_tiles(S)),
+            in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C)],
+            out_specs=_tile_spec(C),
+            out_shape=jax.ShapeDtypeStruct((B, S, C), x3.dtype),
+        )(x3, residual, mean[:, None, :], rstd[:, None, :])
+    kernel = (_normalize_kernel if slope is None
+              else functools.partial(_normalize_act_kernel, slope))
     return pl.pallas_call(
-        _normalize_kernel,
+        kernel,
         grid=(B, _grid_tiles(S)),
-        in_specs=[
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[_tile_spec(C), _chan_spec(C), _chan_spec(C)],
+        out_specs=_tile_spec(C),
         out_shape=jax.ShapeDtypeStruct((B, S, C), x3.dtype),
     )(x3, mean[:, None, :], rstd[:, None, :])
 
@@ -126,7 +155,7 @@ def _normalize(x3: Array, mean: Array, rstd: Array) -> Array:
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_stats_kernel(S, g_ref, x_ref, mean_ref, rstd_ref, out_ref):
+def _bwd_stats_kernel(S, slope, g_ref, x_ref, mean_ref, rstd_ref, out_ref):
     t = pl.program_id(1)
     gb = g_ref[0].astype(jnp.float32)
     xb = x_ref[0].astype(jnp.float32)
@@ -134,7 +163,11 @@ def _bwd_stats_kernel(S, g_ref, x_ref, mean_ref, rstd_ref, out_ref):
     gb = jnp.where(mask, gb, 0.0)
     # mask x as well: tail-tile OOB reads can be NaN and 0*NaN = NaN
     xb = jnp.where(mask, xb, 0.0)
-    yhat = (xb - mean_ref[0, 0, :][None, :]) * rstd_ref[0, 0, :][None, :]
+    m = mean_ref[0, 0, :][None, :]
+    yhat = (xb - m) * rstd_ref[0, 0, :][None, :]
+    if slope is not None:
+        # d act(yhat): scale the incoming grad where yhat <= 0
+        gb = jnp.where(yhat > 0, gb, slope * gb)
     sg = jnp.sum(gb, axis=0)
     sgy = jnp.sum(gb * yhat, axis=0)
 
@@ -149,12 +182,15 @@ def _bwd_stats_kernel(S, g_ref, x_ref, mean_ref, rstd_ref, out_ref):
         out_ref[0, 1, :] += sgy
 
 
-def _bwd_apply_kernel(g_ref, x_ref, mean_ref, rstd_ref, mg_ref, mgy_ref, dx_ref):
+def _bwd_apply_kernel(slope, g_ref, x_ref, mean_ref, rstd_ref, mg_ref, mgy_ref,
+                      dx_ref):
     gb = g_ref[0].astype(jnp.float32)
     xb = x_ref[0].astype(jnp.float32)
     m = mean_ref[0, 0, :][None, :]
     r = rstd_ref[0, 0, :][None, :]
     yhat = (xb - m) * r
+    if slope is not None:
+        gb = jnp.where(yhat > 0, gb, slope * gb)
     dx = r * (gb - mg_ref[0, 0, :][None, :] - yhat * mgy_ref[0, 0, :][None, :])
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
@@ -163,79 +199,121 @@ def _bwd_apply_kernel(g_ref, x_ref, mean_ref, rstd_ref, mg_ref, mgy_ref, dx_ref)
 # public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def instance_norm_fused(x: Array, eps: float = 1e-5) -> Array:
-    """Instance norm (affine=False) with fused Pallas stats/normalize and a
-    traffic-floor custom VJP. ``x``: channels-last ``(B, *spatial, C)``."""
-    y, _ = _fwd(x, eps)
-    return y
-
-
-def _fwd(x: Array, eps: float):
+def _as3d(x: Array):
     B, C = x.shape[0], x.shape[-1]
     S = 1
     for s in x.shape[1:-1]:
         S *= s
-    x3 = x.reshape(B, S, C)
-    mean, rstd = _moments(x3, eps)
-    y = _normalize(x3, mean, rstd).reshape(x.shape)
-    return y, (x3, mean, rstd, x.shape)
+    return x.reshape(B, S, C)
 
 
-def _fwd_rule(x: Array, eps: float):
-    y, res = _fwd(x, eps)
-    return y, res
-
-
-def _bwd_rule(eps: float, res, g: Array):
-    x3, mean, rstd, orig_shape = res
+def _bwd_dx(eps: float, slope, x3, mean, rstd, g3) -> Array:
+    """dx of (act∘)instance_norm at the traffic floor: one grad-stats pass
+    over (g, x), one apply pass. ``slope``: None = no activation,
+    0.0 = relu, else leaky-relu negative slope."""
     B, S, C = x3.shape
-    g3 = g.reshape(B, S, C)
     sums = pl.pallas_call(
-        functools.partial(_bwd_stats_kernel, S),
+        functools.partial(_bwd_stats_kernel, S, slope),
         grid=(B, _grid_tiles(S)),
-        in_specs=[
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C)],
         out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
     )(g3, x3, mean[:, None, :], rstd[:, None, :])
     mg = sums[:, 0, :] / S
     mgy = sums[:, 1, :] / S
-    dx = pl.pallas_call(
-        _bwd_apply_kernel,
+    return pl.pallas_call(
+        functools.partial(_bwd_apply_kernel, slope),
         grid=(B, _grid_tiles(S)),
-        in_specs=[
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C),
+                  _chan_spec(C), _chan_spec(C)],
+        out_specs=_tile_spec(C),
         out_shape=jax.ShapeDtypeStruct((B, S, C), g3.dtype),
     )(g3, x3, mean[:, None, :], rstd[:, None, :], mg[:, None, :],
       mgy[:, None, :])
-    return (dx.reshape(orig_shape),)
 
 
-instance_norm_fused.defvjp(_fwd_rule, _bwd_rule)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_fused(x: Array, eps: float = 1e-5) -> Array:
+    """Instance norm (affine=False) with fused Pallas stats/normalize and a
+    traffic-floor custom VJP. ``x``: channels-last ``(B, *spatial, C)``."""
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    return _normalize(x3, mean, rstd).reshape(x.shape)
+
+
+def _in_fwd(x, eps):
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    y = _normalize(x3, mean, rstd).reshape(x.shape)
+    return y, (x3, mean, rstd, x.shape)
+
+
+def _in_bwd(eps, res, g):
+    x3, mean, rstd, shape = res
+    dx = _bwd_dx(eps, None, x3, mean, rstd, _as3d(g))
+    return (dx.reshape(shape),)
+
+
+instance_norm_fused.defvjp(_in_fwd, _in_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def instance_norm_act_fused(x: Array, eps: float = 1e-5,
+                            slope: float = 0.0) -> Array:
+    """act(instance_norm(x)) in one fused normalize pass — relu
+    (slope=0.0, the generators' conv→IN→relu) or leaky-relu (slope=0.2,
+    the PatchGAN discriminators) — saving the separate activation
+    round-trip XLA schedules after an opaque norm kernel."""
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    return _normalize(x3, mean, rstd, slope=slope).reshape(x.shape)
+
+
+def instance_norm_relu_fused(x: Array, eps: float = 1e-5) -> Array:
+    return instance_norm_act_fused(x, eps, 0.0)
+
+
+def _inact_fwd(x, eps, slope):
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    y = _normalize(x3, mean, rstd, slope=slope).reshape(x.shape)
+    return y, (x3, mean, rstd, x.shape)
+
+
+def _inact_bwd(eps, slope, res, g):
+    x3, mean, rstd, shape = res
+    dx = _bwd_dx(eps, slope, x3, mean, rstd, _as3d(g))
+    return (dx.reshape(shape),)
+
+
+instance_norm_act_fused.defvjp(_inact_fwd, _inact_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def instance_norm_add_fused(x: Array, residual: Array, eps: float = 1e-5) -> Array:
+    """residual + instance_norm(x) in one fused pass (the resnet-block
+    tail: ``out = skip + IN(conv2(h))``, reference ``ResNet.py`` block)."""
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    return _normalize(x3, mean, rstd, residual=_as3d(residual)).reshape(x.shape)
+
+
+def _inadd_fwd(x, residual, eps):
+    x3 = _as3d(x)
+    mean, rstd = _moments(x3, eps)
+    y = _normalize(x3, mean, rstd, residual=_as3d(residual)).reshape(x.shape)
+    return y, (x3, mean, rstd, x.shape)
+
+
+def _inadd_bwd(eps, res, g):
+    x3, mean, rstd, shape = res
+    dx = _bwd_dx(eps, None, x3, mean, rstd, _as3d(g))
+    # d/d residual is the identity: pass g through
+    return dx.reshape(shape), g
+
+
+instance_norm_add_fused.defvjp(_inadd_fwd, _inadd_bwd)
 
 
 def tpu_available() -> bool:

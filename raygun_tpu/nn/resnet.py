@@ -26,7 +26,8 @@ from .layers import (
     make_norm,
     pad_spatial,
 )
-from .unet import _apply_norm
+from .layers import InstanceNorm, _pallas_instance_norm_ok
+from .unet import _apply_norm, _apply_norm_act
 
 
 class ResnetBlock(nn.Module):
@@ -71,16 +72,22 @@ class ResnetBlock(nn.Module):
 
         h = block_conv(x, "conv1")
         if norm_ctor is not None:
-            h = _apply_norm(norm_ctor, h, train)
-        h = act(h)
+            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+        else:
+            h = act(h)
         if self.use_dropout:
             h = nn.Dropout(rate=0.2, deterministic=not train)(h)
         h = block_conv(h, "conv2")
-        if norm_ctor is not None:
-            h = _apply_norm(norm_ctor, h, train)
 
         if pt == "valid":
             x = center_crop(x, h.shape[-nd - 1:-1])
+        if norm_ctor is InstanceNorm and _pallas_instance_norm_ok(h):
+            # fused skip + IN(conv2) tail: one normalize+add pass
+            from .pallas.instance_norm import instance_norm_add_fused
+
+            return instance_norm_add_fused(h, x)
+        if norm_ctor is not None:
+            h = _apply_norm(norm_ctor, h, train)
         return x + h
 
 
@@ -137,8 +144,9 @@ class ResNet(nn.Module):
             name="stem",
         )(x)
         if norm_ctor is not None:
-            h = _apply_norm(norm_ctor, h, train)
-        h = act(h)
+            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+        else:
+            h = act(h)
 
         for i in range(self.n_downsampling):
             mult = 2**i
@@ -151,8 +159,9 @@ class ResNet(nn.Module):
                 name=f"down_{i}",
             )(h)
             if norm_ctor is not None:
-                h = _apply_norm(norm_ctor, h, train)
-            h = act(h)
+                h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            else:
+                h = act(h)
 
         mult = 2**self.n_downsampling
         for i in range(self.n_blocks):
@@ -184,8 +193,9 @@ class ResNet(nn.Module):
                 name=f"up_{i}",
             )(h)
             if norm_ctor is not None:
-                h = _apply_norm(norm_ctor, h, train)
-            h = act(h)
+                h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            else:
+                h = act(h)
 
         head_pad = "valid"
         if pt in ("reflect", "same"):

@@ -110,6 +110,23 @@ def _apply_norm(norm_ctor, x, train):
         return mod(x)
 
 
+def _apply_norm_act(norm_ctor, x, train, activation):
+    """norm followed by activation, fusing the ubiquitous
+    instance-norm→(leaky)relu pattern into one Pallas normalize pass on TPU
+    (see nn/pallas/instance_norm.py); exact fallback elsewhere."""
+    from .layers import InstanceNorm, _pallas_instance_norm_ok, get_activation
+
+    slope = None
+    if isinstance(activation, str):
+        slope = {"relu": 0.0, "leakyrelu": 0.2}.get(activation.lower())
+    if (slope is not None and norm_ctor is InstanceNorm
+            and _pallas_instance_norm_ok(x)):
+        from .pallas.instance_norm import instance_norm_act_fused
+
+        return instance_norm_act_fused(x, 1e-5, slope)
+    return get_activation(activation)(_apply_norm(norm_ctor, x, train))
+
+
 class ConvDownsample(nn.Module):
     """Strided-conv downsampling (reference ``UNet.py:120-188``): always
     VALID conv with stride=downsample_factor."""

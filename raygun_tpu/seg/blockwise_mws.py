@@ -127,6 +127,7 @@ def mutex_watershed_blockwise(
     strides: Sequence[int] = (1, 1, 1),
     mask_thresh: Optional[float] = None,
     max_affinity_value: float = 1.0,
+    solver: str = "host",
 ) -> int:
     """Streamed mutex watershed over a chunked volume.
 
@@ -183,9 +184,21 @@ def mutex_watershed_blockwise(
         else:
             affs = np.asarray(read_affs(lo, hi), np.float32)
 
-        labels = mutex_watershed(
-            affs, offsets, sep, strides=strides, mask=mask, stride_phase=lo
-        )
+        if solver == "device":
+            # per-chunk TPU pipeline: device edge extraction + sort +
+            # batched union-find (VERDICT r2 #3); falls back to host C++
+            # inside on capacity overflow
+            from .mws_device import mutex_watershed_device
+
+            labels = np.asarray(mutex_watershed_device(
+                affs, offsets, sep, strides=strides, mask_thresh=None,
+                union_find="device", stride_phase=lo,
+                mask=mask if mask is not None else None,
+            ))
+        else:
+            labels = mutex_watershed(
+                affs, offsets, sep, strides=strides, mask=mask, stride_phase=lo
+            )
         n_local = int(labels.max())
         labels[labels != 0] += label_offset
 

@@ -266,6 +266,9 @@ def _mutex_segment_blockwise(config_path, seg_config, vol, neighborhood, sep,
         read_affs, shape, neighborhood, sep, write_labels, read_labels,
         chunk=chunk, strides=seg_config["strides"],
         mask_thresh=mask_thresh, max_affinity_value=max_aff,
+        # on_device: true runs the per-chunk solve as the TPU pipeline
+        # (device edge extraction + sort + batched union-find)
+        solver="device" if seg_config.get("on_device") else "host",
     )
     logger.info(f"Segmented: {n} segments.")
     _append_ng_script(config_path, file, dest_dataset)

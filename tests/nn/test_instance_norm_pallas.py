@@ -91,6 +91,65 @@ def test_bf16_forward_close():
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("slope", [0.0, 0.2])
+def test_act_variant_parity(slope):
+    """Fused IN+(leaky)relu == XLA reference, values and gradients."""
+    from raygun_tpu.nn.pallas.instance_norm import instance_norm_act_fused
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 10, 14, 8), jnp.float32)
+
+    def ref_loss(v):
+        y = _xla_in(v)
+        y = jnp.where(y > 0, y, slope * y)
+        return jnp.sum(y ** 2)
+
+    def got_loss(v):
+        return jnp.sum(instance_norm_act_fused(v, 1e-5, slope) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_got, g_got = jax.value_and_grad(got_loss)(x)
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(x)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_add_variant_parity():
+    """Fused residual + IN(x) == XLA reference, values and both gradients."""
+    from raygun_tpu.nn.pallas.instance_norm import instance_norm_add_fused
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 9, 11, 8), jnp.float32)
+    r = jax.random.normal(jax.random.PRNGKey(9), (2, 9, 11, 8), jnp.float32)
+
+    def ref_loss(v, w):
+        return jnp.sum((w + _xla_in(v)) ** 3)
+
+    def got_loss(v, w):
+        return jnp.sum(instance_norm_add_fused(v, w) ** 3)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_got, g_got = jax.value_and_grad(got_loss, argnums=(0, 1))(x, r)
+    v_ref, g_ref = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, r)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-4)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_cpu_unaffected():
+    """The fused wiring must leave CPU ResNet outputs identical (fallback
+    path) and the param tree unchanged."""
+    from raygun_tpu.nn import ResNet
+
+    gen = ResNet(ndims=2, input_nc=1, output_nc=1, ngf=4, n_blocks=1,
+                 padding_type="same", norm="instance")
+    x = jax.random.normal(jax.random.PRNGKey(10), (1, 16, 16, 1), jnp.float32)
+    p = gen.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    y = gen.apply({"params": p}, x, train=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert "stem" in p and "block_0" in p
+
+
 def test_cpu_auto_routes_to_xla():
     """impl='auto' on CPU must use the XLA path (no interpret overhead)."""
     x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 8, 4), jnp.float32)

@@ -35,8 +35,62 @@ def test_device_sort_host_uf_with_strides_and_mask():
 def test_fully_on_device_union_find_matches_native():
     _, affs = synthetic_affs(9, seed=1)
     ref = mutex_watershed(affs, OFFSETS, SEP)
+    got = mutex_watershed_device(affs, OFFSETS, SEP, union_find="device_seq")
+    np.testing.assert_array_equal(canon(got), canon(ref))
+
+
+@pytest.mark.parametrize("seed,n", [(1, 9), (2, 12), (5, 14)])
+def test_batched_device_union_find_matches_native(seed, n):
+    """The production batched-rounds device union-find (VERDICT r2 #3) is
+    EXACT: parallel application of first-touch edges is order-equivalent
+    to the sequential sorted sweep."""
+    _, affs = synthetic_affs(n, seed=seed)
+    ref = mutex_watershed(affs, OFFSETS, SEP)
     got = mutex_watershed_device(affs, OFFSETS, SEP, union_find="device")
     np.testing.assert_array_equal(canon(got), canon(ref))
+
+
+def test_batched_device_union_find_small_chunks():
+    """Tiny chunks force many chunk boundaries + carry of state."""
+    from raygun_tpu.seg import mws_device as m
+
+    _, affs = synthetic_affs(10, seed=7)
+    # strided repulsive sampling as in production (dense strides make the
+    # mutex lists pathological — the device path then reports overflow and
+    # falls back, which test_..._overflow_reports covers)
+    ref = mutex_watershed(affs, OFFSETS, SEP, strides=(2, 2, 2),
+                          mask=np.ones(affs.shape[1:], bool))
+    import jax.numpy as jnp
+
+    offs = tuple(tuple(int(x) for x in o) for o in OFFSETS)
+    u, v, w, at, valid, mask = m.extract_sorted_edges(
+        jnp.asarray(affs, jnp.float32), offs, SEP, (2, 2, 2), use_mask=False)
+    N = int(np.prod(affs.shape[1:]))
+    n_mutex = 2 * int(np.sum(np.asarray(valid) & ~np.asarray(at))) + 2
+    roots, ok = m._device_union_find_batched(
+        jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32), at, valid,
+        N, n_mutex, chunk=64)
+    assert bool(ok)
+    out = np.asarray(roots)
+    _, inv = np.unique(out, return_inverse=True)
+    got = (inv + 1).astype(np.uint64).reshape(affs.shape[1:])
+    np.testing.assert_array_equal(canon(got), canon(ref))
+
+
+def test_batched_device_union_find_overflow_reports():
+    """Mutex-slot overflow must be REPORTED (ok=False), not mis-segmented."""
+    from raygun_tpu.seg import mws_device as m
+    import jax.numpy as jnp
+
+    _, affs = synthetic_affs(9, seed=3)
+    offs = tuple(tuple(int(x) for x in o) for o in OFFSETS)
+    u, v, w, at, valid, mask = m.extract_sorted_edges(
+        jnp.asarray(affs, jnp.float32), offs, SEP, (1, 1, 1), use_mask=False)
+    N = int(np.prod(affs.shape[1:]))
+    roots, ok = m._device_union_find_batched(
+        jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32), at, valid,
+        N, mutex_slots=4)  # absurdly small pool
+    assert not bool(ok)
 
 
 def test_on_device_config_surface(tmp_path):
