@@ -210,7 +210,8 @@ def predict(render_config_path: str) -> List[str]:
 
                 def one(sec):
                     outs = block_fn(sec[(None,) * (1 + section_extra)])
-                    return {k: v[0].reshape(v.shape[2 + section_extra:])
+                    # (batch=1, *section_singletons, Y', X', C) -> (Y', X', C)
+                    return {k: v.reshape(v.shape[1 + section_extra:])
                             for k, v in outs.items()}
 
                 if section_extra == 1:

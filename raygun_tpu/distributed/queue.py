@@ -52,6 +52,7 @@ class FileClaimQueue:
         self._start = zlib.crc32(self.worker_id.encode()) % max(self.n, 1)
         self._fresh = 0  # blocks consumed from this worker's fresh pass
         self._known_done = bytearray(self.n)  # .done files never disappear
+        self._mine: set = set()  # claims held by THIS instance
 
     def _lease(self, i: int) -> str:
         return os.path.join(self.dir, f"block_{i}.lease")
@@ -74,9 +75,14 @@ class FileClaimQueue:
             return False
         with os.fdopen(fd, "w") as f:
             f.write(self.worker_id)
+        self._mine.add(i)
         return True
 
     def _try_reclaim_stale(self, i: int) -> bool:
+        if i in self._mine:
+            # never steal our own in-progress lease — staleness means the
+            # HOLDER died, and this process is demonstrably alive
+            return False
         lease = self._lease(i)
         try:
             age = time.time() - os.path.getmtime(lease)
@@ -135,6 +141,7 @@ class FileClaimQueue:
             f.write(self.worker_id)
         os.replace(tmp, self._done(i))
         self._known_done[i] = 1
+        self._mine.discard(i)
 
     def remaining(self) -> int:
         # done-ness is monotone, so blocks already observed done skip the

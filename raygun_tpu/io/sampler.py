@@ -303,6 +303,7 @@ class HostStreamSampler:
         min_coefvar: float = 0.0,
         data_name: Optional[str] = None,
         max_rejects: int = 20,
+        common_voxel_size: Optional[Sequence[int]] = None,
     ):
         # gp.RejectConstant parity on the host path (reference
         # CycleDataPipe.py:118-131): re-draw crops whose coefficient of
@@ -316,9 +317,49 @@ class HostStreamSampler:
         self.rng = np.random.default_rng(seed)
         first = next(iter(volumes.values()))
         self.voxel_size = first.voxel_size
+        # per-crop resampling to a common voxel grid (the reference composes
+        # gp.Resample with PreCache, CycleDataPipe.py:62-86): crop_shape is
+        # interpreted at common_voxel_size; coarser volumes are read at
+        # their native grid and zoomed per crop in the prefetch thread —
+        # streaming never materializes a resampled whole volume
+        self.common = None
+        self._snap = None
+        if common_voxel_size is not None:
+            self.common = Coordinate(common_voxel_size)
+            for vol in volumes.values():
+                for v, c in zip(vol.voxel_size, self.common):
+                    if (v % c) and (c % v):
+                        raise ValueError(
+                            "stream resampling needs integer voxel-size "
+                            f"ratios; got {tuple(vol.voxel_size)} vs common "
+                            f"{tuple(self.common)}"
+                        )
+            # origins snap to the coarsest grid so every volume's read ROI
+            # starts on its own voxel boundary
+            self._snap = tuple(
+                max(int(vol.voxel_size[d] // self.common[d])
+                    for vol in volumes.values())
+                for d in range(len(self.common))
+            )
+            self.voxel_size = self.common
+            if mask_name is not None:
+                raise ValueError(
+                    "stream resampling with a mask volume is not supported; "
+                    "pre-resample the mask or disable streaming"
+                )
         if mask_name is not None:
             mask = volumes[mask_name].read() > 0
             self.origins = valid_origins(mask, self.crop_shape, min_masked, rng_seed=seed)
+        elif self.common is not None:
+            world = tuple(
+                s * v for s, v in zip(first.spatial_shape, first.voxel_size)
+            )
+            extent = tuple(
+                w // c - cs + 1
+                for w, c, cs in zip(world, self.common, self.crop_shape)
+            )
+            self.origins = None
+            self.extent = extent
         else:
             extent = tuple(
                 s - c + 1 for s, c in zip(first.spatial_shape, self.crop_shape)
@@ -333,17 +374,54 @@ class HostStreamSampler:
     def _random_origin(self):
         if self.origins is not None:
             return self.origins[self.rng.integers(0, len(self.origins))]
-        return np.array([self.rng.integers(0, e) for e in self.extent])
+        origin = np.array([self.rng.integers(0, e) for e in self.extent])
+        if self._snap is not None:
+            origin = (origin // self._snap) * np.array(self._snap)
+        return origin
 
     def _read_crop(self, origin) -> Dict[str, np.ndarray]:
         out = {}
         futures = {}
         for name, vol in self.volumes.items():
-            world_off = vol.offset + Coordinate(origin) * vol.voxel_size
-            roi = Roi(world_off, Coordinate(self.crop_shape) * vol.voxel_size)
+            world_off = vol.offset + Coordinate(origin) * self.voxel_size
+            if tuple(vol.voxel_size) != tuple(self.voxel_size):
+                # read whole native voxels covering the crop's world extent
+                # (snapped origins guarantee the offset is on vol's grid)
+                native_n = tuple(
+                    -(-(cs * c) // v)
+                    for cs, c, v in zip(self.crop_shape, self.voxel_size,
+                                        vol.voxel_size)
+                )
+                roi = Roi(world_off, Coordinate(native_n) * vol.voxel_size)
+            else:
+                roi = Roi(world_off,
+                          Coordinate(self.crop_shape) * self.voxel_size)
             futures[name] = vol.read_async(roi)
         for name, fut in futures.items():
-            out[name] = np.asarray(fut.result())
+            data = np.asarray(fut.result())
+            nd = len(self.crop_shape)
+            if tuple(data.shape[:nd]) != self.crop_shape:
+                # off-common-grid volume: zoom by the exact voxel-size
+                # ratio (linear — gp.Resample default for raw), then
+                # crop/pad the ≤1-voxel remainder
+                from scipy import ndimage
+
+                vol = self.volumes[name]
+                zoom = [v / c for v, c in zip(vol.voxel_size, self.voxel_size)]
+                zoom = zoom[:nd] + [1.0] * (data.ndim - nd)
+                data = ndimage.zoom(
+                    data.astype(np.float32), zoom, order=1,
+                ).astype(data.dtype)
+                # zoom rounding can land 1 voxel off; crop/pad to exact
+                sl = tuple(slice(0, t) for t in self.crop_shape)
+                if tuple(data.shape[:nd]) != self.crop_shape:
+                    pad = [(0, max(0, t - s))
+                           for t, s in zip(self.crop_shape, data.shape[:nd])]
+                    pad += [(0, 0)] * (data.ndim - nd)
+                    data = np.pad(data, pad, mode="edge")[sl]
+                else:
+                    data = data[sl]
+            out[name] = data
         return out
 
     def _crop_passes(self, crop: Dict[str, np.ndarray]) -> bool:
@@ -371,22 +449,34 @@ class HostStreamSampler:
         return crop
 
     def _worker(self):
-        while not self._stop.is_set():
-            batch = [self._sample_crop() for _ in range(self.batch_size)]
-            stacked = {
-                k: np.stack([b[k] for b in batch]) for k in batch[0]
-            }
-            # keep offering the SAME batch until the consumer takes it — a
-            # slow consumer must not waste completed tensorstore reads
+        try:
             while not self._stop.is_set():
-                try:
-                    self.queue.put(stacked, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
+                batch = [self._sample_crop() for _ in range(self.batch_size)]
+                stacked = {
+                    k: np.stack([b[k] for b in batch]) for k in batch[0]
+                }
+                # keep offering the SAME batch until the consumer takes it —
+                # a slow consumer must not waste completed tensorstore reads
+                while not self._stop.is_set():
+                    try:
+                        self.queue.put(stacked, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+        except Exception as e:  # surface in next() instead of hanging it
+            self._error = e
+            try:
+                self.queue.put(None, timeout=1.0)
+            except queue.Full:
+                pass
 
     def next(self) -> Dict[str, np.ndarray]:
-        return self.queue.get()
+        item = self.queue.get()
+        if item is None:
+            raise RuntimeError(
+                "HostStreamSampler worker died"
+            ) from getattr(self, "_error", None)
+        return item
 
     def stop(self):
         self._stop.set()

@@ -102,17 +102,22 @@ def _normalize_add_kernel(x_ref, res_ref, mean_ref, rstd_ref, y_ref):
 def _moments(x3: Array, eps: float) -> Tuple[Array, Array]:
     """Per-(b, c) mean and rsqrt(var + eps), fp32, via the stats kernel."""
     B, S, C = x3.shape
+    f = _fold_factor(S, C)
+    xf = _fold(x3, f)
+    Sf, Cf = xf.shape[1], xf.shape[2]
     sums = pl.pallas_call(
-        functools.partial(_stats_kernel, S),
-        grid=(B, _grid_tiles(S)),
+        functools.partial(_stats_kernel, Sf),
+        grid=(B, _grid_tiles(Sf)),
         in_specs=[
-            pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, _TILE_S, Cf), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
-    )(x3)
+        out_shape=jax.ShapeDtypeStruct((B, 2, Cf), jnp.float32),
+    )(xf)
+    if f > 1:
+        sums = sums.reshape(B, 2, f, C).sum(axis=2)
     mean = sums[:, 0, :] / S
     var = sums[:, 1, :] / S - mean * mean
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
@@ -132,23 +137,32 @@ def _chan_spec(C):
 def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
                residual: Array = None) -> Array:
     B, S, C = x3.shape
+    f = _fold_factor(S, C)
+    xf = _fold(x3, f)
+    Sf, Cf = xf.shape[1], xf.shape[2]
+    if f > 1:
+        mean = jnp.tile(mean, (1, f))
+        rstd = jnp.tile(rstd, (1, f))
     if residual is not None:
-        return pl.pallas_call(
+        y = pl.pallas_call(
             _normalize_add_kernel,
-            grid=(B, _grid_tiles(S)),
-            in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C)],
-            out_specs=_tile_spec(C),
-            out_shape=jax.ShapeDtypeStruct((B, S, C), x3.dtype),
-        )(x3, residual, mean[:, None, :], rstd[:, None, :])
+            grid=(B, _grid_tiles(Sf)),
+            in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
+                      _chan_spec(Cf)],
+            out_specs=_tile_spec(Cf),
+            out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
+        )(xf, _fold(residual, f), mean[:, None, :], rstd[:, None, :])
+        return _unfold(y, f, C)
     kernel = (_normalize_kernel if slope is None
               else functools.partial(_normalize_act_kernel, slope))
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
-        grid=(B, _grid_tiles(S)),
-        in_specs=[_tile_spec(C), _chan_spec(C), _chan_spec(C)],
-        out_specs=_tile_spec(C),
-        out_shape=jax.ShapeDtypeStruct((B, S, C), x3.dtype),
-    )(x3, mean[:, None, :], rstd[:, None, :])
+        grid=(B, _grid_tiles(Sf)),
+        in_specs=[_tile_spec(Cf), _chan_spec(Cf), _chan_spec(Cf)],
+        out_specs=_tile_spec(Cf),
+        out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
+    )(xf, mean[:, None, :], rstd[:, None, :])
+    return _unfold(y, f, C)
 
 
 # ---------------------------------------------------------------------------
@@ -207,30 +221,71 @@ def _as3d(x: Array):
     return x.reshape(B, S, C)
 
 
+def _fold_factor(S: int, C: int) -> int:
+    """Lane folding for C < 128: view (B, S, C) as (B, S/f, f*C) so VPU
+    lanes stay full (a C=64 bf16 tensor wastes half of every 128-lane
+    vector op; measured 8x slowdown on the standalone C=64 kernels).
+    Row-major reshape maps element (q*f + r, c) -> (q, r*C + c), so
+    folded-lane stats fold back with a (f, C) sum and per-channel stats
+    broadcast with jnp.tile."""
+    if C >= 128 or C < 1:
+        return 1
+    f = 128 // C
+    while f > 1 and S % f:
+        f //= 2
+    return max(f, 1)
+
+
+def _fold(x3: Array, f: int) -> Array:
+    if f == 1:
+        return x3
+    B, S, C = x3.shape
+    return x3.reshape(B, S // f, f * C)
+
+
+def _unfold(y3: Array, f: int, C: int) -> Array:
+    if f == 1:
+        return y3
+    B, Sf, _ = y3.shape
+    return y3.reshape(B, Sf * f, C)
+
+
 def _bwd_dx(eps: float, slope, x3, mean, rstd, g3) -> Array:
     """dx of (act∘)instance_norm at the traffic floor: one grad-stats pass
     over (g, x), one apply pass. ``slope``: None = no activation,
     0.0 = relu, else leaky-relu negative slope."""
     B, S, C = x3.shape
+    f = _fold_factor(S, C)
+    xf, gf = _fold(x3, f), _fold(g3, f)
+    Sf, Cf = xf.shape[1], xf.shape[2]
+    mean_f = jnp.tile(mean, (1, f)) if f > 1 else mean
+    rstd_f = jnp.tile(rstd, (1, f)) if f > 1 else rstd
     sums = pl.pallas_call(
-        functools.partial(_bwd_stats_kernel, S, slope),
-        grid=(B, _grid_tiles(S)),
-        in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C)],
-        out_specs=pl.BlockSpec((1, 2, C), lambda b, t: (b, 0, 0),
+        functools.partial(_bwd_stats_kernel, Sf, slope),
+        grid=(B, _grid_tiles(Sf)),
+        in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
+                  _chan_spec(Cf)],
+        out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2, C), jnp.float32),
-    )(g3, x3, mean[:, None, :], rstd[:, None, :])
+        out_shape=jax.ShapeDtypeStruct((B, 2, Cf), jnp.float32),
+    )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :])
+    if f > 1:
+        sums = sums.reshape(B, 2, f, C).sum(axis=2)
     mg = sums[:, 0, :] / S
     mgy = sums[:, 1, :] / S
-    return pl.pallas_call(
+    if f > 1:
+        mg = jnp.tile(mg, (1, f))
+        mgy = jnp.tile(mgy, (1, f))
+    dx = pl.pallas_call(
         functools.partial(_bwd_apply_kernel, slope),
-        grid=(B, _grid_tiles(S)),
-        in_specs=[_tile_spec(C), _tile_spec(C), _chan_spec(C), _chan_spec(C),
-                  _chan_spec(C), _chan_spec(C)],
-        out_specs=_tile_spec(C),
-        out_shape=jax.ShapeDtypeStruct((B, S, C), g3.dtype),
-    )(g3, x3, mean[:, None, :], rstd[:, None, :], mg[:, None, :],
+        grid=(B, _grid_tiles(Sf)),
+        in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
+                  _chan_spec(Cf), _chan_spec(Cf), _chan_spec(Cf)],
+        out_specs=_tile_spec(Cf),
+        out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), g3.dtype),
+    )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :], mg[:, None, :],
       mgy[:, None, :])
+    return _unfold(dx, f, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

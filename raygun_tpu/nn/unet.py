@@ -607,6 +607,11 @@ class UNet(nn.Module):
     fuse_upsample: bool = True  # fold constant-upsample into the next conv
     pack_level0: bool = True  # run level-0 stages in s2d-packed layout
     return_packed_level0: bool = False  # skip the final depth_to_space
+    # rematerialize each level's conv pass in the backward (jax.checkpoint
+    # at level boundaries): trades ~one extra forward for O(level inputs)
+    # activation memory — the lever for larger training crops (VERDICT r2
+    # #4). Param tree is unchanged (nn.remat is transparent to params).
+    remat_levels: bool = False
 
     @property
     def ndims(self) -> int:
@@ -638,6 +643,16 @@ class UNet(nn.Module):
         )
         crop_factors = _crop_factors(self.downsample_factors, self.padding_type)
         is_max = self.downsample_method.lower() == "max"
+        if self.remat_levels:
+            # checkpoint at level boundaries; static args = the trailing
+            # non-array call args (train flag / cin), self is argnum 0
+            CP = nn.remat(ConvPass, static_argnums=(2,))
+            PCP = nn.remat(PackedConvPass, static_argnums=(2, 3))
+            FUCP = nn.remat(FusedUpConvPass, static_argnums=(3,))
+            CD = nn.remat(ConvDownsample, static_argnums=(2,))
+        else:
+            CP, PCP, FUCP, CD = (ConvPass, PackedConvPass, FusedUpConvPass,
+                                 ConvDownsample)
         use_packed0 = (
             is_max
             and (num_levels > 1 or not self.add_noise)
@@ -658,17 +673,17 @@ class UNet(nn.Module):
                 # PackedConvPass): the pooled p0 never materializes the
                 # lane-padded 12-channel full-res tensor
                 h = space_to_depth(h, (2, 2, 2))
-                h = PackedConvPass(
+                h = PCP(
                     output_nc=level_fmaps(0),
                     kernel_sizes=ks_down[0],
                     activation=self.activation,
                     name="l_conv_0",
-                )(h, cin=x.shape[-1], train=train)
+                )(h, x.shape[-1], train)
                 if level > 0:
                     f_lefts.append(h)  # PACKED skip
                     h = phase_max_pool(h, (2, 2, 2), level_fmaps(0))
                 continue
-            h = ConvPass(
+            h = CP(
                 output_nc=level_fmaps(depth),
                 kernel_sizes=ks_down[depth],
                 activation=self.activation,
@@ -676,20 +691,20 @@ class UNet(nn.Module):
                 residual=self.residual,
                 norm=self.norm,
                 name=f"l_conv_{depth}",
-            )(h, train=train)
+            )(h, train)
             if level > 0:
                 f_lefts.append(h)
                 if is_max:
                     h = MaxDownsample(self.downsample_factors[depth], name=f"l_down_{depth}")(h)
                 else:
-                    h = ConvDownsample(
+                    h = CD(
                         output_nc=level_fmaps(depth + 1),
                         kernel_sizes=ks_down[depth][0],
                         downsample_factor=self.downsample_factors[depth],
                         activation=self.activation,
                         norm=self.norm,
                         name=f"l_down_{depth}",
-                    )(h, train=train)
+                    )(h, train)
 
         # bottleneck noise injection
         if self.add_noise == "param":
@@ -715,7 +730,7 @@ class UNet(nn.Module):
             new_heads = []
             for head in range(self.num_heads):
                 if use_fused:
-                    g = FusedUpConvPass(
+                    g = FUCP(
                         output_nc=out_nc,
                         kernel_sizes=ks_up[depth],
                         scale_factor=self.downsample_factors[depth],
@@ -724,7 +739,7 @@ class UNet(nn.Module):
                         crop_factor=crop_factors[depth],
                         packed_skip=(depth == 0 and use_packed0),
                         name=f"r_conv_{head}_{depth}",
-                    )(f_left, heads[head], train=train)
+                    )(f_left, heads[head], train)
                 else:
                     g = Upsample(
                         scale_factor=self.downsample_factors[depth],
@@ -734,7 +749,7 @@ class UNet(nn.Module):
                         next_conv_kernel_sizes=ks_up[depth],
                         name=f"r_up_{head}_{depth}",
                     )(f_left, heads[head])
-                    g = ConvPass(
+                    g = CP(
                         output_nc=out_nc,
                         kernel_sizes=ks_up[depth],
                         activation=self.activation,
@@ -742,7 +757,7 @@ class UNet(nn.Module):
                         residual=self.residual,
                         norm=self.norm,
                         name=f"r_conv_{head}_{depth}",
-                    )(g, train=train)
+                    )(g, train)
                 new_heads.append(g)
             heads = new_heads
 
@@ -774,6 +789,7 @@ class ResidualUNet(nn.Module):
     norm: Union[str, None, Callable] = None
     add_noise: Union[bool, str] = False
     fuse_upsample: bool = True
+    remat_levels: bool = False  # see UNet.remat_levels
 
     @property
     def ndims(self) -> int:
@@ -789,6 +805,11 @@ class ResidualUNet(nn.Module):
         crop_factors = _crop_factors(self.downsample_factors, self.padding_type)
         is_max = self.downsample_method.lower() == "max"
         act = get_activation(self.activation)
+        if self.remat_levels:
+            CP = nn.remat(ConvPass, static_argnums=(2,))
+            CD = nn.remat(ConvDownsample, static_argnums=(2,))
+        else:
+            CP, CD = ConvPass, ConvDownsample
 
         def level_fmaps(level):
             return self.ngf * self.fmap_inc_factor**level
@@ -796,7 +817,7 @@ class ResidualUNet(nn.Module):
         f_lefts = []
         h = x
         for depth in range(num_levels):
-            h = ConvPass(
+            h = CP(
                 output_nc=level_fmaps(depth),
                 kernel_sizes=ks_down[depth],
                 activation=self.activation,
@@ -804,20 +825,20 @@ class ResidualUNet(nn.Module):
                 residual=self.residual,
                 norm=self.norm,
                 name=f"l_conv_{depth}",
-            )(h, train=train)
+            )(h, train)
             if depth < num_levels - 1:
                 f_lefts.append(h)
                 if is_max:
                     h = MaxDownsample(self.downsample_factors[depth], name=f"l_down_{depth}")(h)
                 else:
-                    h = ConvDownsample(
+                    h = CD(
                         output_nc=level_fmaps(depth + 1),
                         kernel_sizes=ks_down[depth][0],
                         downsample_factor=self.downsample_factors[depth],
                         activation=self.activation,
                         norm=self.norm,
                         name=f"l_down_{depth}",
-                    )(h, train=train)
+                    )(h, train)
 
         if self.add_noise == "param":
             h = ParameterizedNoiseBlock()(h)

@@ -252,17 +252,15 @@ class CycleGAN(BaseSystem):
             if self.stream_mode:
                 # host-streaming (`stream: true`): crops come off a
                 # tensorstore prefetch thread; volumes never materialize
-                # (reference PreCache capability, BaseTrain.py:94-97)
+                # (reference PreCache capability, BaseTrain.py:94-97).
+                # Sources at a coarser voxel size are resampled PER CROP in
+                # the prefetch thread (gp.Resample ∘ PreCache composition,
+                # reference CycleDataPipe.py:62-86) — requires integer
+                # voxel-size ratios and no mask volume on that side.
                 factor = tuple(
                     v / c for v, c in zip(vol.voxel_size, self.common_voxel_size)
                 )
-                if any(abs(f - 1) > 1e-6 for f in factor):
-                    raise ValueError(
-                        "stream: true requires sources already at "
-                        "common_voxel_size (host-side whole-volume resample "
-                        "would defeat streaming); resample offline or "
-                        "disable streaming"
-                    )
+                needs_resample = any(abs(f - 1) > 1e-6 for f in factor)
                 if self.ndims < len(self.common_voxel_size):
                     crop_shape = (1,) * (
                         len(self.common_voxel_size) - self.ndims) + crop_len
@@ -283,6 +281,10 @@ class CycleGAN(BaseSystem):
                     data_name="real",
                     prefetch=int(sk.get("prefetch", 4)),
                     seed=int(self.random_seed or 0) + (0 if side == "A" else 1),
+                    common_voxel_size=(
+                        tuple(self.common_voxel_size) if needs_resample
+                        else None
+                    ),
                 )
                 continue
             data = vol.read()

@@ -51,17 +51,21 @@ def main():
 
     N_SCAN = 4
 
+    level_model = MTLSDModel(
+        unet_kwargs=dict(unet_kwargs, remat_levels=True), num_affs=20)
+
     def make_step(c, remat):
         shape = (1, c, c, c, 1)
         oshape = out_shape_for(c)
+        mdl = level_model if remat == "levels" else model
 
         def fwd(p, x):
-            affs, lsds = model.apply(
+            affs, lsds = mdl.apply(
                 {"params": jax.tree.map(lambda q: q.astype(jnp.bfloat16), p)},
                 x, train=True)
             return affs, lsds
 
-        if remat:
+        if remat is True:
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(p, x, t_affs, t_lsds):
@@ -90,8 +94,8 @@ def main():
     for c in crops:
         oshape = out_shape_for(c)
         out_vox = int(np.prod(oshape[1:-1]))
-        for remat in (False, True):
-            tag = f"{c}^3->{oshape[1]}^3 remat={int(remat)}"
+        for remat in (False, True, "levels"):
+            tag = f"{c}^3->{oshape[1]}^3 remat={remat}"
             try:
                 compiled = make_step(c, remat).lower(
                     params, opt_state, jax.random.PRNGKey(1)).compile()

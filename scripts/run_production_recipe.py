@@ -1,0 +1,305 @@
+"""Production-shape recipe on the real chip (VERDICT r2 #8).
+
+Drives the ieee-isbi-2023 pipeline at the REFERENCE's workload shapes on
+synthetic volumes: CycleGAN link training at batch 3x512^2 (reference
+``01_cycleGAN/train_conf.json:28-30``), checkpoint selection via smoothed
+composite loss (model_logs_bests.json), netG2 whole-volume rendering, MTLSD
+training at batch 1x196^3->104^3 with 20 affs + 8 diagonals + 10 LSDs
+(reference ``default_MTLSD_conf.json:132-146``), then the validation loop
+(blockwise predict -> watershed+agglomerate -> skeleton VOI) emitting
+``validation_eval0_metrics.json`` — the BASELINE.md table format, so
+quality becomes a table diff, not an assertion.
+
+Real 30/90 nm data is unavailable in this environment (BASELINE.md);
+shapes, architectures, and the full artifact chain are production, the
+voxels are synthetic. Iteration counts are scaled (config below) to fit a
+benchmark session; pass --steps-scale 1.0 for the full 200k/100k schedule.
+
+Usage:
+  python scripts/run_production_recipe.py [--out DIR] [--smoke]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/experiments_out/production_recipe")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes/steps for CPU plumbing validation")
+    ap.add_argument("--cyclegan-steps", type=int, default=None)
+    ap.add_argument("--mtlsd-steps", type=int, default=None)
+    ap.add_argument("--skip-cyclegan", action="store_true",
+                    help="reuse stage-1/2 artifacts already in --out")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    from raygun_tpu.io import make_segmentation_dataset, open_ds
+    from raygun_tpu.io.synthetic import make_skeleton_nml
+    from raygun_tpu.io.volume import prepare_ds
+    from raygun_tpu.core.roi import Coordinate, Roi
+    from raygun_tpu.systems import load_system
+
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+    t_start = time.time()
+
+    if args.smoke:
+        g_side, g_vol, g_steps, g_save = 64, 160, 8, 4
+        m_in, m_out, m_vol, m_steps, m_save = (36,) * 3, (20,) * 3, 64, 6, 3
+        m_ngf, m_levels, lsd_sigma, n_diag = 4, 1, 120, 0
+        eval_vol = 64
+    else:
+        # reference workload shapes (BASELINE.md "Hardware & scale context")
+        g_side, g_vol, g_steps, g_save = 512, 1536, args.cyclegan_steps or 2000, 250
+        m_in, m_out = (196,) * 3, (104,) * 3
+        m_vol, m_steps, m_save = 288, args.mtlsd_steps or 2000, 500
+        m_ngf, m_levels, lsd_sigma, n_diag = 12, 3, 300, 8
+        eval_vol = 256
+
+    # ---- stage 1: CycleGAN link training at 3 x side^2 --------------------
+    print("== stage 1: CycleGAN", flush=True)
+    from raygun_tpu.io.synthetic import (
+        downsample_raw, synthetic_labels, synthetic_raw_from_labels,
+    )
+
+    data_path = os.path.join(out, "cyclegan_data.zarr")
+    rng_shape = (g_vol, g_vol)
+    skip_cg = args.skip_cyclegan and os.path.isdir(
+        os.path.join(out, "01_cycleGAN", "models"))
+    if not skip_cg:
+        labels_a = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24), seed=5)
+        raw_a = synthetic_raw_from_labels(labels_a, 6)
+        labels_b = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24), seed=11)
+        raw_b = downsample_raw(synthetic_raw_from_labels(labels_b, 12), 3)
+        vx = Coordinate(30, 30)
+        roi = Roi((0, 0), Coordinate(rng_shape) * vx)
+        prepare_ds(data_path, "raw_30nm", roi, vx, np.uint8, delete=True).write(roi, raw_a)
+        prepare_ds(data_path, "raw_90nm_at30", roi, vx, np.uint8, delete=True).write(roi, raw_b)
+
+    cg_dir = os.path.join(out, "01_cycleGAN")
+    os.makedirs(cg_dir, exist_ok=True)
+    cg_conf = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": data_path, "name": "raw_30nm"},
+            "B": {"path": data_path, "name": "raw_90nm_at30"},
+        },
+        "common_voxel_size": [30, 30],
+        "ndims": 2,
+        "side_length": g_side,
+        "batch_size": 3,
+        "loss_type": "link",
+        "gnet_type": "resnet",
+        "gnet_kwargs": {"input_nc": 1, "output_nc": 1, "ngf": 64,
+                        "n_blocks": 6 if not args.smoke else 1,
+                        "padding_type": "same", "final_activation": "tanh"},
+        "dnet_kwargs": {"input_nc": 1, "ngf": 64 if not args.smoke else 8,
+                        "n_layers": 3, "kw": 3, "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "d_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "model_path": os.path.join(cg_dir, "models") + "/",
+        "num_epochs": g_steps,
+        "log_every": max(g_steps // 40, 1),
+        "save_every": g_save,
+        "snapshot_every": None,
+        "random_seed": 42,
+    }
+    cg_conf_path = os.path.join(cg_dir, "train_conf.json")
+    with open(cg_conf_path, "w") as f:
+        json.dump(cg_conf, f, indent=2)
+
+    cwd = os.getcwd()
+    if skip_cg:
+        print("(reusing existing stage-1 artifacts)", flush=True)
+        cg_time = float("nan")
+    else:
+        os.chdir(cg_dir)
+        try:
+            t0 = time.time()
+            system = load_system(cg_conf_path)
+            system.build_system()
+            system.train()
+            cg_time = time.time() - t0
+        finally:
+            os.chdir(cwd)
+    print(f"CycleGAN: {g_steps} steps at 3x{g_side}^2 in {cg_time:.0f}s "
+          f"({g_steps / cg_time:.2f} steps/s)", flush=True)
+
+    # checkpoint selection: smoothed composite loss (reference
+    # inspect_logs -> model_logs_bests.json)
+    from raygun_tpu.eval.inspect_logs import inspect_logs
+
+    bests = inspect_logs({"base_folder": cg_dir, "smoothing": 0.9,
+                          "plot": False})
+    print(f"model_logs_bests: {json.dumps(bests)[:300]}", flush=True)
+
+    # ---- stage 2: render fake volume with netG2 ---------------------------
+    print("== stage 2: render netG2", flush=True)
+    best_iter = None
+    try:
+        first = next(iter(bests.values()))
+        best_iter = int(first["step"])
+    except Exception:
+        pass
+    render_conf = {
+        "config_path": cg_conf_path,
+        "source_path": data_path,
+        "source_dataset": "raw_90nm_at30",
+        "net_name": "netG2",
+        "checkpoint": best_iter,
+        "input_shape": g_side,
+        "output_shape": g_side,
+        "output_ds": ["fake_30nm"],
+        "out_specs": {"fake": {"dtype": "uint8"}},
+        "dest_path": data_path,
+    }
+    rp = os.path.join(cg_dir, "render_conf.json")
+    with open(rp, "w") as f:
+        json.dump(render_conf, f, indent=2)
+    from raygun_tpu.cli.predict import predict as predict_cli
+
+    if not skip_cg:
+        t0 = time.time()
+        predict_cli(rp)
+        print(f"rendered fake_30nm in {time.time() - t0:.0f}s", flush=True)
+
+    from raygun_tpu.eval.image_metrics import images_compare
+
+    img_metrics = images_compare({
+        "target_source": {"path": data_path, "ds": "raw_30nm"},
+        "test_sources": {"fake_30nm": {"path": data_path, "ds": "fake_30nm"},
+                         "raw_90nm": {"path": data_path, "ds": "raw_90nm_at30"}},
+        "metrics_path": os.path.join(out, "compare_30nm_metrics.json"),
+    })
+    print(f"image metrics (fake vs real 30nm): {img_metrics}", flush=True)
+
+    # ---- stage 3: MTLSD training at 196^3 -> 104^3 ------------------------
+    print("== stage 3: MTLSD", flush=True)
+    gt_path = os.path.join(out, "mtlsd_gt.zarr")
+    src = make_segmentation_dataset(
+        gt_path, shape=(m_vol,) * 3, num_cells=24 if not args.smoke else 10,
+        seed=17)
+
+    mt_dir = os.path.join(out, "02_MTLSD")
+    os.makedirs(mt_dir, exist_ok=True)
+    mt_conf = {
+        "system": "MTLSD",
+        "sources": [src],
+        "ndims": 3, "batch_size": 1,
+        "input_shape": list(m_in), "output_shape": list(m_out),
+        "voxel_size": [30, 30, 30],
+        "num_affs": 20 if not args.smoke else 3,
+        "neighborhood": None if not args.smoke else [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+        "n_diagonals": n_diag,
+        "model_kwargs": {"unet_kwargs": {
+            "input_nc": 1, "ngf": m_ngf, "fmap_inc_factor": 6 if not args.smoke else 2,
+            "downsample_factors": [[2, 2, 2]] * m_levels,
+            "constant_upsample": True,
+        }, "num_affs": 20 if not args.smoke else 3},
+        "elastic_aug1_kwargs": None, "elastic_aug2_kwargs": None,
+        "intensity_aug_kwargs": {"scale_min": 0.9, "scale_max": 1.1,
+                                 "shift_min": -0.1, "shift_max": 0.1},
+        "lsd_kwargs": {"sigma": lsd_sigma, "downsample": 2},
+        "max_labels": 32,
+        "optim_type": "adam", "optim_kwargs": {"learning_rate": 5e-4},
+        "model_path": os.path.join(mt_dir, "models") + "/",
+        "train_kwargs": {"log_dir": os.path.join(mt_dir, "tb"),
+                         "log_every": max(m_steps // 40, 1),
+                         "num_epochs": m_steps, "save_every": m_save},
+        "random_seed": 13,
+    }
+    if not args.smoke:
+        mt_conf.pop("neighborhood")
+        mt_conf.pop("num_affs")
+    mt_conf_path = os.path.join(mt_dir, "train_conf.json")
+    with open(mt_conf_path, "w") as f:
+        json.dump(mt_conf, f, indent=2)
+    os.chdir(mt_dir)
+    try:
+        t0 = time.time()
+        system = load_system(mt_conf_path)
+        system.build_system()
+        system.train()
+        mt_time = time.time() - t0
+    finally:
+        os.chdir(cwd)
+    print(f"MTLSD: {m_steps} steps at 1x{m_in[0]}^3 in {mt_time:.0f}s "
+          f"({m_steps / mt_time:.2f} steps/s)", flush=True)
+
+    # ---- stage 4: validation loop on a held-out synthetic volume ----------
+    print("== stage 4: validation (predict -> segment -> skeleton VOI)",
+          flush=True)
+    ev_path = os.path.join(out, "eval0.zarr")
+    ev = make_segmentation_dataset(
+        ev_path, shape=(eval_vol,) * 3, num_cells=20 if not args.smoke else 10,
+        seed=99)
+    ev_labels = open_ds(ev["path"], ev["labels"]).read()
+    nml = make_skeleton_nml(ev_labels, os.path.join(out, "skel.nml"),
+                            n_trees=24)
+    n_affs = 3 if args.smoke else 20
+    predict_conf = {
+        "config_path": mt_conf_path,
+        "source_path": ev["path"],
+        "source_dataset": ev["raw"],
+        "checkpoint": m_steps,
+        "scaleShift_input": [2, -1],
+        "output_ds": ["volumes/pred_affs", "volumes/pred_lsds"],
+        "input_shape": list(m_in), "output_shape": list(m_out),
+        "dest_path": ev["path"],
+    }
+    val_conf = {
+        "checkpoint": m_steps,
+        "metric_path": os.path.join(out, "validation_eval0_metrics.json"),
+        "prediction_config_path": os.path.join(out, "predict_conf.json"),
+        "segment_config": {
+            "file": ev["path"], "aff_ds": "volumes/pred_affs",
+            "thresholds": [0.5], "save": True,
+        },
+        "skeleton_config": {
+            "file": ev["path"], "skeleton_path": nml,
+            "dataset": "skeleton_rasterization",
+            "shape": [eval_vol] * 3, "voxel_size": [30, 30, 30],
+        },
+    }
+    with open(os.path.join(out, "predict_conf.json"), "w") as f:
+        json.dump(predict_conf, f, indent=2)
+    vp = os.path.join(out, "val_conf.json")
+    with open(vp, "w") as f:
+        json.dump(val_conf, f, indent=2)
+
+    from raygun_tpu.eval.validate import validate_affinities
+
+    t0 = time.time()
+    validate_affinities(vp)
+    print(f"validation loop in {time.time() - t0:.0f}s", flush=True)
+
+    metrics = json.load(open(val_conf["metric_path"]))
+    entry = metrics[str(m_steps)]
+    score = entry["voi_split"] + entry["voi_merge"]
+    print(json.dumps({
+        "workload": f"CycleGAN 3x{g_side}^2 {g_steps} steps; "
+                    f"MTLSD 1x{m_in[0]}^3 {m_steps} steps",
+        "cyclegan_steps_per_sec": round(g_steps / cg_time, 3),
+        "mtlsd_steps_per_sec": round(m_steps / mt_time, 3),
+        "image_metrics": img_metrics,
+        "validation": entry,
+        "score_voi_sum": round(score, 4),
+        "total_wall_s": round(time.time() - t_start, 0),
+    }, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
