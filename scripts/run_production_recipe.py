@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--mtlsd-steps", type=int, default=None)
     ap.add_argument("--skip-cyclegan", action="store_true",
                     help="reuse stage-1/2 artifacts already in --out")
+    ap.add_argument("--skip-mtlsd", action="store_true",
+                    help="reuse stage-3 checkpoints already in --out "
+                         "(implies --skip-cyclegan)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +80,8 @@ def main():
 
     data_path = os.path.join(out, "cyclegan_data.zarr")
     rng_shape = (g_vol, g_vol)
+    if args.skip_mtlsd:
+        args.skip_cyclegan = True
     skip_cg = args.skip_cyclegan and os.path.isdir(
         os.path.join(out, "01_cycleGAN", "models"))
     if not skip_cg:
@@ -189,9 +194,16 @@ def main():
     # ---- stage 3: MTLSD training at 196^3 -> 104^3 ------------------------
     print("== stage 3: MTLSD", flush=True)
     gt_path = os.path.join(out, "mtlsd_gt.zarr")
-    src = make_segmentation_dataset(
-        gt_path, shape=(m_vol,) * 3, num_cells=24 if not args.smoke else 10,
-        seed=17)
+    skip_mt = args.skip_mtlsd and os.path.isdir(
+        os.path.join(out, "02_MTLSD", "models"))
+    if skip_mt:
+        src = {"path": gt_path, "raw": "volumes/raw",
+               "labels": "volumes/labels", "labels_mask": "volumes/labels_mask",
+               "cell_mask": "volumes/cell_mask"}
+    else:
+        src = make_segmentation_dataset(
+            gt_path, shape=(m_vol,) * 3, num_cells=24 if not args.smoke else 10,
+            seed=17)
 
     mt_dir = os.path.join(out, "02_MTLSD")
     os.makedirs(mt_dir, exist_ok=True)
@@ -227,15 +239,19 @@ def main():
     mt_conf_path = os.path.join(mt_dir, "train_conf.json")
     with open(mt_conf_path, "w") as f:
         json.dump(mt_conf, f, indent=2)
-    os.chdir(mt_dir)
-    try:
-        t0 = time.time()
-        system = load_system(mt_conf_path)
-        system.build_system()
-        system.train()
-        mt_time = time.time() - t0
-    finally:
-        os.chdir(cwd)
+    if skip_mt:
+        print("(reusing existing stage-3 checkpoints)", flush=True)
+        mt_time = float("nan")
+    else:
+        os.chdir(mt_dir)
+        try:
+            t0 = time.time()
+            system = load_system(mt_conf_path)
+            system.build_system()
+            system.train()
+            mt_time = time.time() - t0
+        finally:
+            os.chdir(cwd)
     print(f"MTLSD: {m_steps} steps at 1x{m_in[0]}^3 in {mt_time:.0f}s "
           f"({m_steps / mt_time:.2f} steps/s)", flush=True)
 
