@@ -300,9 +300,17 @@ def _auto_block_shape(fwd, ndims: int, candidates=None):
             out_spatial = next(iter(jax.tree_util.tree_leaves(out))).shape[1:-1]
             if any(o <= 0 for o in out_spatial):
                 continue
-            jax.jit(fwd).lower(
-                jax.ShapeDtypeStruct(shape, jnp.float32)
-            ).compile()
+            raw = getattr(fwd, "raw", None)
+            if raw is not None:
+                # params stay jit ARGUMENTS (constant-embedding would make
+                # each probe compile pathological — systems/mtlsd.py note)
+                jax.jit(raw).lower(
+                    fwd.variables, jax.ShapeDtypeStruct(shape, jnp.float32)
+                ).compile()
+            else:
+                jax.jit(fwd).lower(
+                    jax.ShapeDtypeStruct(shape, jnp.float32)
+                ).compile()
             return (int(side),) * ndims, tuple(int(o) for o in out_spatial)
         except Exception as e:  # too big for HBM (or invalid): try smaller
             last_err = e

@@ -305,6 +305,19 @@ def halo_exchange_1d(x: jax.Array, halo: int, axis_name: str, axis: int = 0) -> 
     return jnp.concatenate([left, x, right], axis=axis)
 
 
+def _peel_model_fn(model_fn: Callable):
+    """Split a predict_setup-style forward into ``(raw(variables, x),
+    variables)`` so params enter the sharded program as ARGUMENTS. Closing
+    over a concrete param tree and re-jitting would embed ~the whole
+    checkpoint into the HLO as constants, exploding compile time (see
+    systems/mtlsd.py predict_setup). Plain fns without ``.raw`` (tests,
+    paramless closures) pass through with an empty variables tree."""
+    raw = getattr(model_fn, "raw", None)
+    if raw is not None:
+        return raw, model_fn.variables
+    return (lambda _v, x: model_fn(x)), ()
+
+
 def make_sharded_infer_1d(
     model_fn: Callable,
     mesh: Mesh,
@@ -324,16 +337,17 @@ def make_sharded_infer_1d(
 
     in_spec = P(*([None] * spatial_axis + [axis_name]))
     out_spec = in_spec
+    raw, variables = _peel_model_fn(model_fn)
 
-    def per_shard(x):
+    def per_shard(variables, x):
         x = halo_exchange_1d(x, halo, axis_name, axis=spatial_axis)
-        return model_fn(x)
+        return raw(variables, x)
 
-    sharded = shard_map(
-        per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec,
+    sharded = jax.jit(shard_map(
+        per_shard, mesh=mesh, in_specs=(P(), in_spec), out_specs=out_spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+    return lambda x: sharded(variables, x)
 
 
 def halo_exchange(
@@ -380,7 +394,9 @@ def make_sharded_infer(
         spec_list[ax] = name
     in_spec = P(*spec_list)
 
-    def per_shard(x):
+    raw, variables = _peel_model_fn(model_fn)
+
+    def per_shard(variables, x):
         # axes with one mesh slot already hold their full context — an
         # exchange there would concatenate reflected slabs onto real data
         active = [
@@ -391,13 +407,13 @@ def make_sharded_infer(
             x, [a[0] for a in active], [a[1] for a in active],
             [a[2] for a in active],
         )
-        return model_fn(x)
+        return raw(variables, x)
 
-    sharded = shard_map(
-        per_shard, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec,
+    sharded = jax.jit(shard_map(
+        per_shard, mesh=mesh, in_specs=(P(), in_spec), out_specs=in_spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)
+    ))
+    return lambda x: sharded(variables, x)
 
 
 class SuperBlockRunner:

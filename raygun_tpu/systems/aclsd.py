@@ -153,7 +153,11 @@ class ACLSD(MTLSD):
 
         from ..train.state import latest_checkpoint, load_params_only
 
-        self.setup_model()
+        self._abstract_init = True  # template-only init (no init compile)
+        try:
+            self.setup_model()
+        finally:
+            self._abstract_init = False
         if checkpoint is not None and not os.path.exists(str(checkpoint)):
             checkpoint = f"{self.checkpoint_basename}_checkpoint_{checkpoint}"
         if checkpoint is None:
@@ -167,8 +171,11 @@ class ACLSD(MTLSD):
 
         ac_shape = self.ac_output_shape
 
-        @jax.jit
-        def fwd(x):
+        # params as jit ARGUMENTS (closure capture would bake them into the
+        # HLO as constants — see MTLSD.predict_setup note)
+        params = jax.device_put(params)
+
+        def raw_fwd(params, x):
             affs, lsds, affs_ac = model.apply({"params": params}, x, train=False)
             # crop all outputs to the auto-context shape so one write ROI
             # covers every dataset (blockwise runner uses a single grid)
@@ -177,6 +184,14 @@ class ACLSD(MTLSD):
                 "lsds": center_crop(lsds, ac_shape),
                 "affs_ac": affs_ac,
             }
+
+        _fwd = jax.jit(raw_fwd)
+
+        def fwd(x):
+            return _fwd(params, x)
+
+        fwd.raw = raw_fwd
+        fwd.variables = params
 
         num_affs = int(self.model_kwargs.get("num_affs", 3))
         return fwd, [

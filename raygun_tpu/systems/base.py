@@ -293,6 +293,12 @@ class BaseSystem:
         if rngs_extra:
             rngs.update(rngs_extra)
         x = jnp.zeros(input_shape, jnp.float32)
+        if getattr(self, "_abstract_init", False):
+            # predict/render path: only the variables TEMPLATE is needed
+            # (checkpoint restore replaces every leaf), so skip the real
+            # init compile+execute — ShapeDtypeStruct leaves satisfy both
+            # flax.serialization.from_state_dict and the eval_shape probes
+            return jax.eval_shape(lambda: net.init(rngs, x, train=False))
         variables = jax.jit(
             lambda: net.init(rngs, x, train=False)
         )()

@@ -662,7 +662,11 @@ class CycleGAN(BaseSystem):
     def predict_setup(self, checkpoint=None, net_name="netG1"):
         """Pick a generator for blockwise rendering (reference worker
         ``worker.py:48-66`` netG subnet selection)."""
-        self.setup_networks()
+        self._abstract_init = True  # template-only init (no init compile)
+        try:
+            self.setup_networks()
+        finally:
+            self._abstract_init = False
         if checkpoint is not None and not os.path.exists(str(checkpoint)):
             checkpoint = f"{self.checkpoint_basename}_checkpoint_{checkpoint}"
         if checkpoint is None:
@@ -680,11 +684,22 @@ class CycleGAN(BaseSystem):
         net = self.netG1 if which == "G1" else self.netG2
         p = params[which]
 
-        @jax.jit
-        def fwd(x):
+        # params as jit ARGUMENTS (closure capture would bake them into the
+        # HLO as constants — see MTLSD.predict_setup note)
+        p = jax.device_put(p)
+
+        def raw_fwd(p, x):
             y = net.apply({"params": p}, x, train=False)
             # rescale [-1,1] -> [0,1] for output (reference worker rescale)
             return {"fake": jnp.clip(y * 0.5 + 0.5, 0.0, 1.0)}
+
+        _fwd = jax.jit(raw_fwd)
+
+        def fwd(x):
+            return _fwd(p, x)
+
+        fwd.raw = raw_fwd
+        fwd.variables = p
 
         return fwd, [("fake", self.gnet_kwargs.get("output_nc", 1))]
 

@@ -656,7 +656,11 @@ class MTLSD(BaseSystem):
         worker, ``worker.py:109-114``) or predictions collapse."""
         from ..train.state import load_params_only
 
-        self.setup_model()
+        self._abstract_init = True  # template-only init (no init compile)
+        try:
+            self.setup_model()
+        finally:
+            self._abstract_init = False
         if checkpoint is not None and not os.path.exists(str(checkpoint)):
             checkpoint = f"{self.checkpoint_basename}_checkpoint_{checkpoint}"
         if checkpoint is None:
@@ -679,13 +683,30 @@ class MTLSD(BaseSystem):
             if stats is not None:
                 eval_variables["batch_stats"] = stats
 
-        @jax.jit
-        def fwd(x):
-            affs, lsds = model.apply(eval_variables, x, train=False)
+        # Params must be ARGUMENTS of the jitted fn, not closure captures:
+        # captured concrete arrays become compile-time constants, embedding
+        # ~the whole checkpoint into the HLO — which explodes (remote)
+        # compile time and defeats the compile cache across checkpoints.
+        eval_variables = jax.device_put(eval_variables)
+        has_lsds = bool(self.lsd_kwargs)
+
+        def raw_fwd(variables, x):
+            affs, lsds = model.apply(variables, x, train=False)
             out = {"affs": affs}
-            if self.lsd_kwargs:
+            if has_lsds:
                 out["lsds"] = lsds
             return out
+
+        _fwd = jax.jit(raw_fwd)
+
+        def fwd(x):
+            return _fwd(eval_variables, x)
+
+        # downstream wrappers (auto-block probe, mesh shard_map) must keep
+        # params as ARGUMENTS of their own programs — closing over `fwd`
+        # and re-jitting would inline the inner jit and re-embed them
+        fwd.raw = raw_fwd
+        fwd.variables = eval_variables
 
         spec = [("affs", int(self.model_kwargs.get("num_affs", 3)))]
         if self.lsd_kwargs:
