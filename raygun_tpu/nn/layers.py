@@ -224,6 +224,12 @@ def conv2d_s2d(x: Array, kernel: Array, precision=None) -> Array:
     Ny, Nx = x.shape[1], x.shape[2]
     ky, kx = kernel.shape[0], kernel.shape[1]
     out_y, out_x = Ny - ky + 1, Nx - kx + 1
+    if out_y <= 0 or out_x <= 0:
+        raise ValueError(
+            f"valid conv of kernel {(ky, kx)} over spatial extent "
+            f"{(Ny, Nx)} is empty — the network's input_shape is too "
+            "small for its depth/kernels"
+        )
     # even extents required; pad high side (outputs beyond are sliced off)
     pad = [(0, Ny % 2), (0, Nx % 2)]
     if any(p != (0, 0) for p in pad):
@@ -248,6 +254,12 @@ def conv3d_zdecomp(x: Array, kernel: Array, precision=None) -> Array:
     Z, Y, X = x.shape[1:4]
     kz = kernel.shape[0]
     Zo = Z - kz + 1
+    if Zo <= 0 or Y - kernel.shape[1] + 1 <= 0 or X - kernel.shape[2] + 1 <= 0:
+        raise ValueError(
+            f"valid conv of kernel {tuple(kernel.shape[:3])} over spatial "
+            f"extent {(Z, Y, X)} is empty — the network's input_shape is "
+            "too small for its depth/kernels"
+        )
     dn2 = conv_dimension_numbers_nd(2)
     acc = None
     for tz in range(kz):

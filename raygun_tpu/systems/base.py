@@ -88,6 +88,27 @@ class BaseSystem:
             else:
                 merged.update(read_config(config))
         merged = eval_args(merged)
+        unknown = sorted(
+            k for k in merged if k not in type(self).OPTIONAL_CONFIG_KEYS
+        )
+        if unknown:
+            # reading a typo'd key already raises (__getattr__ below), but a
+            # typo'd key that is only ever WRITTEN would silently train with
+            # defaults — e.g. "lsd_sigma" instead of "lsd_kwargs"
+            import difflib
+
+            hints = []
+            for k in unknown:
+                close = difflib.get_close_matches(
+                    k, type(self).OPTIONAL_CONFIG_KEYS, n=2
+                )
+                hints.append(
+                    f"{k!r}" + (f" (did you mean {close[0]!r}?)" if close else "")
+                )
+            raise ValueError(
+                f"unknown config key(s) for {type(self).__name__}: "
+                + ", ".join(hints)
+            )
         for key, value in merged.items():
             setattr(self, key, value)
         self.config = merged

@@ -288,6 +288,44 @@ def test_config_typo_raises():
         _ = system.lsd_kwags  # typo'd key raises with a suggestion
 
 
+def test_unknown_config_key_rejected_at_construction():
+    """A typo'd key that is only WRITTEN (never read back) must raise at
+    construction — otherwise e.g. 'lsd_sigma' instead of 'lsd_kwargs'
+    silently trains with defaults (round-3 verify-drive finding)."""
+    from raygun_tpu.systems.cyclegan import CycleGAN
+
+    with pytest.raises(ValueError, match="unknown config key.*lsd_sigma"):
+        CycleGAN({
+            "sources": {"A": {}, "B": {}}, "common_voxel_size": [30, 30],
+            "ndims": 2, "side_length": 16, "loss_type": "link",
+            "lsd_sigma": 120,
+        })
+    # a NEAR-MISS of a real key gets a did-you-mean hint
+    with pytest.raises(ValueError, match="did you mean 'loss_kwargs'"):
+        CycleGAN({
+            "sources": {"A": {}, "B": {}}, "common_voxel_size": [30, 30],
+            "ndims": 2, "side_length": 16, "loss_type": "link",
+            "loss_kwags": {},
+        })
+
+
+def test_empty_valid_conv_raises_clearly():
+    """A net too deep for its input must fail with a shape message, not a
+    ZeroDivisionError from inside a conv route."""
+    import jax.numpy as jnp
+
+    from raygun_tpu.nn.layers import conv2d_s2d, conv3d_zdecomp
+
+    x3 = jnp.zeros((1, 2, 8, 8, 4))
+    k3 = jnp.zeros((3, 3, 3, 4, 4))
+    with pytest.raises(ValueError, match="input_shape is too\\s+small"):
+        conv3d_zdecomp(x3, k3)
+    x2 = jnp.zeros((1, 2, 8, 4))
+    k2 = jnp.zeros((3, 3, 4, 4))
+    with pytest.raises(ValueError, match="input_shape is too\\s+small"):
+        conv2d_s2d(x2, k2)
+
+
 def test_latest_checkpoint_ignores_tmp(tmp_path):
     base = str(tmp_path / "model")
     for name in ("model_checkpoint_100", "model_checkpoint_200"):
