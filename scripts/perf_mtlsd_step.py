@@ -116,20 +116,10 @@ def main():
         return jnp.sum(affs) + jnp.sum(w)
     timed("add_affinities + balance", affs_only)
 
-    # net fwd+bwd+adam on a prebuilt batch
-    batch = jax.jit(system.make_batch)(jax.random.PRNGKey(7))
-    batch = jax.tree.map(jnp.asarray, batch)
-    inner = system._make_apply_update()
-    state = system.state
-
-    def apply_only(k):
-        b = dict(batch)
-        b["raw"] = b["raw"] + jax.random.uniform(
-            k, b["raw"].shape, b["raw"].dtype) * 0.001
-        new_state, metrics = inner(state, b)
-        return checksum(metrics) + jnp.sum(
-            jax.tree.leaves(new_state.params)[0].astype(jnp.float32))
-    timed("apply_update (fwd+bwd+adam)", apply_only)
+    # NOTE: the full train step is too large for the remote compiler when
+    # wrapped in a timing scan (it kills the compile service with a broken
+    # pipe) — the heavy stages are wall-measured instead; at ~200+ ms/step
+    # the ~25 ms relay overhead is an acceptable bias (reported raw).
 
     # full step (jitted sample+augment+targets+apply)
     step = system.make_train_step()
