@@ -91,9 +91,12 @@ def instance_norm(x: Array, epsilon: float = 1e-5, impl: str = "auto") -> Array:
 
         return instance_norm_fused(x, epsilon)
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + epsilon)
+    # stats in fp32: bf16 activations (mixed-precision training) would
+    # otherwise accumulate mean/var at 8-bit mantissa over ~10^5 voxels
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + epsilon)).astype(x.dtype)
 
 
 class InstanceNorm(nn.Module):
@@ -646,13 +649,23 @@ class ConvNd(nn.Module):
         k = kernel.astype(compute_dtype)
         x = x.astype(compute_dtype)
 
-        out_spatial = int(
-            np.prod([
-                x.shape[1 + d] + pads[d][0] + pads[d][1] - self.kernel_size[d] + 1
-                for d in range(nd)
-            ])
-        )
+        out_dims = [
+            x.shape[1 + d] + pads[d][0] + pads[d][1] - self.kernel_size[d] + 1
+            for d in range(nd)
+        ]
+        out_spatial = int(np.prod(out_dims))
+        if min(out_dims) < 0:
+            raise ValueError(
+                f"valid conv of kernel {tuple(self.kernel_size)} over padded "
+                f"spatial extent {tuple(x.shape[1:1 + nd])} is empty — the "
+                "network's input_shape is too small for its depth/kernels"
+            )
         route = self.impl
+        if min(out_dims) == 0:
+            # zero-sized output is legal XLA (param-count probes init at
+            # tiny shapes, reference nlayerdiscriminator_test.py:62-66);
+            # only the native route can express it
+            route = "native"
         if route == "auto":
             if (
                 self.use_tap_sum

@@ -155,7 +155,7 @@ def blur_pool_2d_pallas(x: Array, stride: int = 2, filt_size: int = 3,
         out_shape=jax.ShapeDtypeStruct((n_tiles * TH, C, W_out), x.dtype),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

@@ -57,6 +57,7 @@ from .mtlsd import get_optimizer
 
 def gan_loss(pred: jax.Array, target_is_real: bool, gan_mode: str = "lsgan") -> jax.Array:
     """Parity with reference ``GANLoss.py:24-64``."""
+    pred = pred.astype(jnp.float32)  # losses reduce in fp32 (mixed precision)
     if gan_mode == "lsgan":
         target = 1.0 if target_is_real else 0.0
         return jnp.mean((pred - target) ** 2)
@@ -70,7 +71,9 @@ def gan_loss(pred: jax.Array, target_is_real: bool, gan_mode: str = "lsgan") -> 
 
 def smooth_l1(a: jax.Array, b: jax.Array) -> jax.Array:
     """torch.nn.SmoothL1Loss (huber, delta=1) parity."""
-    return jnp.mean(optax.losses.huber_loss(a, b, delta=1.0))
+    return jnp.mean(optax.losses.huber_loss(
+        a.astype(jnp.float32), b.astype(jnp.float32), delta=1.0
+    ))
 
 
 DEFAULT_G_LAMBDAS = {
@@ -90,6 +93,13 @@ class CycleGAN(BaseSystem):
 
     def __init__(self, config=None):
         super().__init__(config=config, default_config="default_cycleGAN_conf.json")
+
+        # mixed precision: "dtype": "bfloat16" runs all net activations in
+        # bf16 (params/optimizer stay fp32; losses and norm statistics
+        # reduce in fp32). The GAN step is HBM-bandwidth-bound
+        # (docs/PERFORMANCE.md roofline) so halving activation bytes is the
+        # single biggest step-time lever.
+        self.dtype = jnp.dtype(self.dtype or "float32")
 
         if self.common_voxel_size is None:
             self.common_voxel_size = Coordinate(
@@ -355,7 +365,7 @@ class CycleGAN(BaseSystem):
         )
         raw = warp(raw, coords, order=1)
         raw = simple_augment({"x": raw}, ks[1], ndims=self.ndims)["x"]
-        return intensity_scale_shift(raw, 2, -1)[..., None]
+        return intensity_scale_shift(raw, 2, -1)[..., None].astype(self.dtype)
 
     def make_batch(self, key) -> Dict[str, jax.Array]:
         kA, kB = jax.random.split(key)

@@ -175,3 +175,53 @@ def test_link_vs_split_gradient_semantics():
     g_split = jax.grad(loss_wrt_g2)(params, True)
     assert any(float(np.abs(l).sum()) > 0 for l in jax.tree.leaves(g_link))
     assert all(float(np.abs(l).sum()) == 0 for l in jax.tree.leaves(g_split))
+
+
+def test_bfloat16_mixed_precision_step(tmp_path):
+    """"dtype": "bfloat16" runs net activations in bf16 while params and
+    optimizer state stay fp32 and losses reduce finitely (round 3: the GAN
+    step is bandwidth-bound, so bf16 activations are the big step lever)."""
+    src = make_cyclegan_dataset(
+        str(tmp_path / "data.zarr"), shape=(96, 96),
+        voxel_size_a=(90, 90), voxel_size_b=(90, 90),
+    )
+    config = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": src["path"], "name": src["A"]},
+            "B": {"path": src["path"], "name": src["B"]},
+        },
+        "common_voxel_size": [90, 90],
+        "ndims": 2, "side_length": 32, "batch_size": 2,
+        "loss_type": "link", "dtype": "bfloat16",
+        "gnet_type": "resnet",
+        "gnet_kwargs": {
+            "input_nc": 1, "output_nc": 1, "ngf": 4, "n_blocks": 1,
+            "n_downsampling": 1, "padding_type": "same",
+            "final_activation": "tanh",
+        },
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "g_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "d_optim_kwargs": {"lr": 1e-4, "betas": [0.5, 0.999]},
+        "model_path": str(tmp_path / "models") + "/",
+        "num_epochs": 2, "log_every": 1, "save_every": 2,
+        "tensorboard_path": str(tmp_path / "tensorboard"),
+    }
+    cfg_path = tmp_path / "train_conf.json"
+    cfg_path.write_text(json.dumps(config))
+    system = load_system(str(cfg_path))
+    system.build_system()
+    batch = jax.jit(system.make_batch)(jax.random.PRNGKey(0))
+    assert batch["real_A"].dtype == jnp.bfloat16
+    step = system.make_train_step()
+    state, metrics = step(system.state, jax.random.PRNGKey(1))
+    # losses finite and fp32; params still fp32
+    for name, v in metrics.items():
+        assert jnp.isfinite(v).all(), name
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree.leaves(state.params)
+    )
+    # and a second step still finite (optimizer state consistent)
+    state, metrics = step(state, jax.random.PRNGKey(2))
+    assert jnp.isfinite(metrics["Total_Loss/G1"])

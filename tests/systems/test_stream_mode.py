@@ -52,7 +52,7 @@ def _config(path, stream):
             },
             "num_affs": 3,
         },
-        "max_iterations": 2,
+        "num_epochs": 2,
         "stream": stream,
         "stream_kwargs": {"prefetch": 2},
     }
@@ -60,7 +60,6 @@ def _config(path, stream):
 
 def test_stream_mode_trains(synthetic_source, tmp_path):
     cfg = _config(synthetic_source, stream=True)
-    cfg["working_dir"] = str(tmp_path)
     system = MTLSD(cfg)
     system.build_system()
     assert system.stream_mode and system.host_sampler is not None
@@ -91,7 +90,6 @@ def test_stream_mode_max_labels_warns(tmp_path):
     prepare_ds(path, "labels", roi, (1, 1, 1), np.uint64).write(roi, labels)
 
     cfg = _config(path, stream=True)
-    cfg["working_dir"] = str(tmp_path)
     cfg["lsd_kwargs"] = {"sigma": 3, "downsample": 1}
     cfg["max_labels"] = 8
     system = MTLSD(cfg)
@@ -102,7 +100,6 @@ def test_stream_mode_max_labels_warns(tmp_path):
 
 def test_stream_snapshot(synthetic_source, tmp_path):
     cfg = _config(synthetic_source, stream=True)
-    cfg["working_dir"] = str(tmp_path)
     system = MTLSD(cfg)
     system.build_system()
     snap = system.make_snapshot_fn()
