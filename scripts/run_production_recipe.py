@@ -59,6 +59,19 @@ def main():
     os.makedirs(out, exist_ok=True)
     t_start = time.time()
 
+    # per-stage wall times persist across --skip-* resumes so the final
+    # summary always carries real steps/s, never NaN
+    times_path = os.path.join(out, "stage_times.json")
+    stage_times = {}
+    if os.path.exists(times_path):
+        with open(times_path) as f:
+            stage_times = json.load(f)
+
+    def record_time(stage, seconds):
+        stage_times[stage] = seconds
+        with open(times_path, "w") as f:
+            json.dump(stage_times, f, indent=2)
+
     if args.smoke:
         g_side, g_vol, g_steps, g_save = 64, 160, 8, 4
         m_in, m_out, m_vol, m_steps, m_save = (36,) * 3, (20,) * 3, 64, 6, 3
@@ -129,7 +142,7 @@ def main():
     cwd = os.getcwd()
     if skip_cg:
         print("(reusing existing stage-1 artifacts)", flush=True)
-        cg_time = float("nan")
+        cg_time = stage_times.get("cyclegan", float("nan"))
     else:
         os.chdir(cg_dir)
         try:
@@ -138,6 +151,7 @@ def main():
             system.build_system()
             system.train()
             cg_time = time.time() - t0
+            record_time("cyclegan", cg_time)
         finally:
             os.chdir(cwd)
     print(f"CycleGAN: {g_steps} steps at 3x{g_side}^2 in {cg_time:.0f}s "
@@ -241,7 +255,7 @@ def main():
         json.dump(mt_conf, f, indent=2)
     if skip_mt:
         print("(reusing existing stage-3 checkpoints)", flush=True)
-        mt_time = float("nan")
+        mt_time = stage_times.get("mtlsd", float("nan"))
     else:
         os.chdir(mt_dir)
         try:
@@ -250,6 +264,7 @@ def main():
             system.build_system()
             system.train()
             mt_time = time.time() - t0
+            record_time("mtlsd", mt_time)
         finally:
             os.chdir(cwd)
     print(f"MTLSD: {m_steps} steps at 1x{m_in[0]}^3 in {mt_time:.0f}s "
@@ -305,7 +320,7 @@ def main():
     metrics = json.load(open(val_conf["metric_path"]))
     entry = metrics[str(m_steps)]
     score = entry["voi_split"] + entry["voi_merge"]
-    print(json.dumps({
+    summary = {
         "workload": f"CycleGAN 3x{g_side}^2 {g_steps} steps; "
                     f"MTLSD 1x{m_in[0]}^3 {m_steps} steps",
         "cyclegan_steps_per_sec": round(g_steps / cg_time, 3),
@@ -314,7 +329,10 @@ def main():
         "validation": entry,
         "score_voi_sum": round(score, 4),
         "total_wall_s": round(time.time() - t_start, 0),
-    }, indent=2), flush=True)
+    }
+    with open(os.path.join(out, "recipe_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2), flush=True)
 
 
 if __name__ == "__main__":
