@@ -37,6 +37,9 @@ def main():
                     help="tiny shapes/steps for CPU plumbing validation")
     ap.add_argument("--cyclegan-steps", type=int, default=None)
     ap.add_argument("--mtlsd-steps", type=int, default=None)
+    ap.add_argument("--cyclegan-dtype", default="float32",
+                    help="train stage 1 in this dtype (bfloat16 halves the "
+                         "bandwidth-bound step, docs/PERFORMANCE.md)")
     ap.add_argument("--skip-cyclegan", action="store_true",
                     help="reuse stage-1/2 artifacts already in --out")
     ap.add_argument("--skip-mtlsd", action="store_true",
@@ -134,6 +137,7 @@ def main():
         "save_every": g_save,
         "snapshot_every": None,
         "random_seed": 42,
+        "dtype": args.cyclegan_dtype,
     }
     cg_conf_path = os.path.join(cg_dir, "train_conf.json")
     with open(cg_conf_path, "w") as f:

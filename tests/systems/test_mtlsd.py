@@ -120,3 +120,27 @@ def test_resume_from_checkpoint(tiny_config):
     it = system.trainer.resume()
     assert it == 6
     assert int(system.trainer.state.step) == 6
+
+
+def test_bfloat16_mixed_precision_step(tiny_config, tmp_path):
+    """"dtype": "bfloat16" runs MTLSD activations in bf16 while params stay
+    fp32 and the weighted-MSE loss reduces finitely (same contract as the
+    CycleGAN test; docs/PERFORMANCE.md mixed-precision section)."""
+    cfg_path, config = tiny_config
+    cfg = dict(config)
+    cfg["dtype"] = "bfloat16"
+    cfg["model_path"] = str(tmp_path / "models") + "/"
+    cfg["train_kwargs"] = dict(cfg["train_kwargs"],
+                               log_dir=str(tmp_path / "tensorboard"))
+    p = tmp_path / "train_conf.json"
+    p.write_text(json.dumps(cfg))
+    system = load_system(str(p))
+    system.build_system()
+    batch = jax.jit(system.make_batch)(jax.random.PRNGKey(0))
+    assert batch["raw"].dtype == jnp.bfloat16
+    step = system.make_train_step()
+    state, metrics = step(system.state, jax.random.PRNGKey(1))
+    assert jnp.isfinite(metrics["loss"])
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
+    state, metrics = step(state, jax.random.PRNGKey(2))
+    assert jnp.isfinite(metrics["loss"])
