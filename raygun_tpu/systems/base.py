@@ -67,6 +67,8 @@ class BaseSystem:
         "num_lsds",
         # multi-chip / validation surface
         "mesh", "data_parallel", "validate_every", "validation_config",
+        # memory scaling
+        "grad_slabs",
     })
 
     def __init__(self, config: Optional[str] = None, default_config: Optional[str] = None):

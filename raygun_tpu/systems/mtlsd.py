@@ -525,11 +525,55 @@ class MTLSD(BaseSystem):
 
         return train_step
 
+    def _slab_grad_plan(self):
+        """Static slab plan for ``grad_slabs``: starts along the leading
+        spatial axis plus per-slab thresholds masking rows a previous slab
+        already covered (the last slab is shifted back to stay in bounds).
+
+        Slab extents must be ≡ output extent modulo the coarsest stride so
+        the valid U-Net produces exactly ``s`` rows from ``s + ctx`` input
+        rows (translation equivariance in steps of ``prod(dsf_z)``)."""
+        in_z, out_z = self.input_shape[0], self.output_shape[0]
+        ctx = in_z - out_z
+        dsf = (self.model_kwargs or {}).get("unet_kwargs", {}).get(
+            "downsample_factors", [])
+        stepz = int(np.prod([f[0] for f in dsf])) if dsf else 1
+        if out_z % stepz:
+            raise ValueError(
+                f"grad_slabs requires output_shape[0] ({out_z}) divisible by "
+                f"the coarsest z stride ({stepz})")
+        n = int(self.grad_slabs)
+        s = -(-out_z // n)             # ceil(out_z / n)
+        s = min(-(-s // stepz) * stepz, out_z)   # round up to stride
+        starts = list(range(0, out_z - s + 1, s))
+        if starts[-1] + s < out_z:
+            starts.append(out_z - s)
+        thr, covered = [], 0
+        for st in starts:
+            thr.append(max(0, covered - st))
+            covered = max(covered, st + s)
+        return starts, thr, s, ctx
+
     def _make_apply_update(self):
         """Shared fwd/bwd/optimizer update on an already-built batch."""
         model, tx = self.model, self.tx
         use_lsds = bool(self.lsd_kwargs)
         use_bn = bool(self.batch_stats)
+
+        if self.grad_slabs:
+            # slab-wise backward (VERDICT r2 #4): bounded-memory training at
+            # crops whose monolithic backward exceeds HBM (or the compiler).
+            # Exact for per-voxel losses over valid convs: each output row
+            # is produced by exactly one slab (overlap masked), and the
+            # weighted-MSE normalizers are data, so grads sum.
+            if use_bn:
+                raise ValueError("grad_slabs is incompatible with norm='batch' "
+                                 "(running stats would be per-slab)")
+            norm = (self.model_kwargs or {}).get("unet_kwargs", {}).get("norm")
+            if norm:
+                raise ValueError("grad_slabs requires a norm-free U-Net "
+                                 "(full-volume norm statistics don't slab)")
+            return self._make_slab_apply_update()
 
         def apply_update(state: TrainState, batch):
 
@@ -565,6 +609,74 @@ class MTLSD(BaseSystem):
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state, extra=extra
             )
+            return new_state, {"loss": loss, **metrics}
+
+        return apply_update
+
+    def _make_slab_apply_update(self):
+        """``grad_slabs`` update: lax.scan over z-slabs, each slab doing its
+        own forward+backward over ``s + ctx`` input rows, gradients summed.
+
+        Peak activation memory is one slab's forward+backward instead of the
+        whole crop's; weighted-MSE normalizers (data, param-independent) are
+        computed once globally so the summed slab grads equal the monolithic
+        gradient exactly (tests/systems/test_grad_slabs.py)."""
+        model, tx = self.model, self.tx
+        use_lsds = bool(self.lsd_kwargs)
+        starts, thr, s, ctx = self._slab_grad_plan()
+        starts_a = jnp.asarray(starts, jnp.int32)
+        thr_a = jnp.asarray(thr, jnp.int32)
+        ndims = len(self.input_shape)
+
+        def apply_update(state: TrainState, batch):
+            # global normalizers: count of positive weights (weighted_mse
+            # denominator); max(.,1) reproduces its nz==0 short-circuit
+            # (all-zero weights -> zero loss and zero grad either way)
+            nz_a = jnp.maximum(jnp.sum(batch["affs_weights"] > 0), 1)
+            nz_l = (jnp.maximum(jnp.sum(batch["lsds_weights"] > 0), 1)
+                    if use_lsds else 1)
+
+            def slab_sums(params, st, th):
+                raw = jax.lax.dynamic_slice_in_dim(
+                    batch["raw"], st, s + ctx, axis=1)
+                mask_shape = (1, s) + (1,) * (ndims - 1) + (1,)
+                mask = (jnp.arange(s, dtype=jnp.int32) >= th).reshape(mask_shape)
+                affs, lsds = model.apply({"params": params}, raw, train=True)
+                ga = jax.lax.dynamic_slice_in_dim(batch["gt_affs"], st, s, axis=1)
+                wa = jax.lax.dynamic_slice_in_dim(batch["affs_weights"], st, s, axis=1)
+                sum_a = jnp.sum(wa * mask * (affs - ga) ** 2)
+                sum_l = jnp.float32(0)
+                if use_lsds:
+                    gl = jax.lax.dynamic_slice_in_dim(batch["gt_lsds"], st, s, axis=1)
+                    wl = jax.lax.dynamic_slice_in_dim(batch["lsds_weights"], st, s, axis=1)
+                    sum_l = jnp.sum(wl * mask * (lsds - gl) ** 2)
+                # normalize inside the differentiated scalar so the scanned
+                # grads accumulate to the exact monolithic gradient
+                return sum_a / nz_a + sum_l / nz_l, (sum_a, sum_l)
+
+            def body(carry, st_th):
+                g_acc, a_acc, l_acc = carry
+                (_, (sum_a, sum_l)), g = jax.value_and_grad(
+                    slab_sums, has_aux=True)(state.params, *st_th)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, a_acc + sum_a, l_acc + sum_l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, sum_a, sum_l), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.float32(0)),
+                (starts_a, thr_a))
+            aff_loss = sum_a / nz_a
+            metrics = {"Affinities": aff_loss}
+            loss = aff_loss
+            if use_lsds:
+                lsd_loss = sum_l / nz_l
+                metrics["LSDs"] = lsd_loss
+                loss = loss + lsd_loss
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params,
+                opt_state=opt_state, extra=state.extra)
             return new_state, {"loss": loss, **metrics}
 
         return apply_update
