@@ -70,10 +70,25 @@ def main():
         with open(times_path) as f:
             stage_times = json.load(f)
 
-    def record_time(stage, seconds):
-        stage_times[stage] = seconds
+    def record_time(stage, seconds, steps=None):
+        # accumulate across resumes (a resumed train stage only walks the
+        # remaining steps; steps/s must divide by steps actually trained)
+        stage_times[stage] = stage_times.get(stage, 0.0) + seconds
+        if steps is not None:
+            stage_times[stage + "_steps"] = (
+                stage_times.get(stage + "_steps", 0) + steps)
         with open(times_path, "w") as f:
             json.dump(stage_times, f, indent=2)
+
+    def latest_checkpoint_step(models_dir):
+        import re as _re
+        best = 0
+        if os.path.isdir(models_dir):
+            for name in os.listdir(models_dir):
+                m = _re.search(r"_checkpoint_(\d+)$", name)
+                if m:
+                    best = max(best, int(m.group(1)))
+        return best
 
     if args.smoke:
         g_side, g_vol, g_steps, g_save = 64, 160, 8, 4
@@ -148,18 +163,21 @@ def main():
         print("(reusing existing stage-1 artifacts)", flush=True)
         cg_time = stage_times.get("cyclegan", float("nan"))
     else:
+        resume_at = latest_checkpoint_step(os.path.join(cg_dir, "models"))
         os.chdir(cg_dir)
         try:
             t0 = time.time()
             system = load_system(cg_conf_path)
             system.build_system()
             system.train()
-            cg_time = time.time() - t0
-            record_time("cyclegan", cg_time)
+            record_time("cyclegan", time.time() - t0,
+                        steps=g_steps - resume_at)
         finally:
             os.chdir(cwd)
+        cg_time = stage_times["cyclegan"]
+    cg_steps_timed = stage_times.get("cyclegan_steps", g_steps)
     print(f"CycleGAN: {g_steps} steps at 3x{g_side}^2 in {cg_time:.0f}s "
-          f"({g_steps / cg_time:.2f} steps/s)", flush=True)
+          f"({cg_steps_timed / cg_time:.2f} steps/s)", flush=True)
 
     # checkpoint selection: smoothed composite loss (reference
     # inspect_logs -> model_logs_bests.json)
@@ -261,18 +279,21 @@ def main():
         print("(reusing existing stage-3 checkpoints)", flush=True)
         mt_time = stage_times.get("mtlsd", float("nan"))
     else:
+        resume_at = latest_checkpoint_step(os.path.join(mt_dir, "models"))
         os.chdir(mt_dir)
         try:
             t0 = time.time()
             system = load_system(mt_conf_path)
             system.build_system()
             system.train()
-            mt_time = time.time() - t0
-            record_time("mtlsd", mt_time)
+            record_time("mtlsd", time.time() - t0,
+                        steps=m_steps - resume_at)
         finally:
             os.chdir(cwd)
+        mt_time = stage_times["mtlsd"]
+    mt_steps_timed = stage_times.get("mtlsd_steps", m_steps)
     print(f"MTLSD: {m_steps} steps at 1x{m_in[0]}^3 in {mt_time:.0f}s "
-          f"({m_steps / mt_time:.2f} steps/s)", flush=True)
+          f"({mt_steps_timed / mt_time:.2f} steps/s)", flush=True)
 
     # ---- stage 4: validation loop on a held-out synthetic volume ----------
     print("== stage 4: validation (predict -> segment -> skeleton VOI)",
@@ -327,8 +348,8 @@ def main():
     summary = {
         "workload": f"CycleGAN 3x{g_side}^2 {g_steps} steps; "
                     f"MTLSD 1x{m_in[0]}^3 {m_steps} steps",
-        "cyclegan_steps_per_sec": round(g_steps / cg_time, 3),
-        "mtlsd_steps_per_sec": round(m_steps / mt_time, 3),
+        "cyclegan_steps_per_sec": round(cg_steps_timed / cg_time, 3),
+        "mtlsd_steps_per_sec": round(mt_steps_timed / mt_time, 3),
         "image_metrics": img_metrics,
         "validation": entry,
         "score_voi_sum": round(score, 4),

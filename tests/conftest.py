@@ -9,6 +9,15 @@ and clear any initialized backends.
 
 import os
 
+# Strip the axon pool var BEFORE any test (or fixture) spawns a subprocess:
+# a child inheriting it re-registers the TPU backend, touches the relay, and
+# can wedge a concurrently running TPU job INDEFINITELY (observed: the
+# test_experiments make_data subprocess froze a production-recipe run).
+# The parent process already registered axon at interpreter start
+# (sitecustomize); popping the env var here only protects children.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

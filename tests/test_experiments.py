@@ -28,8 +28,14 @@ def experiment_dir(tmp_path_factory):
     src = open(make).read().replace("shape=(256, 256)", "shape=(192, 192)")
     src = src.replace("shape=(64, 96, 96)", "shape=(48, 64, 64)")
     open(make, "w").write(src)
-    subprocess.run([sys.executable, make], check=True, cwd=dst,
-                   env={**os.environ, "PYTHONPATH": REPO + ":" + os.environ.get("PYTHONPATH", "")})
+    env = {**os.environ,
+           "PYTHONPATH": REPO + ":" + os.environ.get("PYTHONPATH", ""),
+           "JAX_PLATFORMS": "cpu"}
+    # never let a test child register the TPU backend (conftest strips this
+    # for the whole session; belt-and-braces here since this child wedged a
+    # live TPU job once)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    subprocess.run([sys.executable, make], check=True, cwd=dst, env=env)
     return dst
 
 
