@@ -11,5 +11,6 @@ from .targets import (
 from .augment import (
     normalize, intensity_scale_shift, intensity_augment, noise_augment,
     simple_augment, elastic_augment, elastic_margin, elastic_coordinates, warp,
+    elastic_params, warp_shears,
 )
 from .sampler import DeviceVolumeSampler, MultiSourceSampler, HostStreamSampler, valid_origins

@@ -227,6 +227,180 @@ def warp(x: Array, coords: Array, order: int = 1) -> Array:
     return jnp.stack(mapped, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# gather-free elastic warp: 3-shear rotation + windowed jitter
+# ---------------------------------------------------------------------------
+#
+# jax.scipy.ndimage.map_coordinates is an arbitrary-index gather — the
+# classic XLA:TPU slow path (no hardware gather: 6 per-crop 512² bilinear
+# warps measure ~81 ms, scripts/perf_warp2.py). The same transform has a
+# structured, gather-free form:
+#
+#   R(θ) = H_p · V_s · H_p      (p = -tan(θ/2), s = sin θ)
+#
+# (Catmull & Smith 1980 / Paeth 1986 three-shear rotation). Each shear is a
+# 1-D resample whose source offset is per-line constant (the affine part) +
+# a small smooth per-pixel residual (the elastic jitter, |d| ≤ 3σ+1):
+#   * the per-line integer part is applied with log2(K) static roll+select
+#     passes (pure VPU, no gather);
+#   * the residual (≤ window W) is a (2W+3)-term sum of statically rolled
+#     images weighted by the bilinear hat max(0, 1-|r-d|) — XLA fuses it.
+#
+# θ is first folded into [-π/4, π/4] by an exact rot90 so the shear
+# envelopes stay inside the rotation margin (`elastic_margin`): every
+# intermediate position a cropped output pixel traces through the shears is
+# bounded by the half-diagonal, the same bound the margin already buys.
+# Wrapped (rolled-around) voxels therefore never reach the crop.
+#
+# NOT bit-identical to map_coordinates: three successive linear interps
+# differ from one bilinear sample by O(h²·curvature), and the jitter
+# residual fields are evaluated at each pass's own grid position. The
+# result is an elastic warp drawn from the same distribution (equal at
+# θ ∈ {0, ±π/2} with zero jitter — tested exactly), which is what
+# augmentation parity with the reference requires (gp.ElasticAugment is
+# itself a scipy resample of a random field; reference
+# ``io/CycleDataPipe.py:139-150``).
+
+
+def warp_shears(
+    x: Array,
+    theta: Array,
+    disp: Array,
+    target_shape: Sequence[int],
+    max_disp: float,
+) -> Array:
+    """Gather-free elastic warp of a square 2D canvas.
+
+    ``x``: (S, S) source canvas. ``theta``: scalar rotation (radians, any
+    value; folded by quadrant). ``disp``: (2, S, S) smooth displacement
+    field in voxels, clamped to ±``max_disp`` (callers pass the
+    ``elastic_margin`` jitter budget ceil(3σ)+1). Returns the centered
+    ``target_shape`` crop of x sampled at R(θ)·(v-c) + disp(v) + c.
+    """
+    S = x.shape[0]
+    assert x.ndim == 2 and x.shape[1] == S, "warp_shears needs a square 2D canvas"
+    c = (S - 1) / 2.0
+    x = x.astype(jnp.float32)
+
+    # fold θ into [-π/4, π/4] with exact quadrant rotations: θ = q·π/2 + φ
+    q = jnp.round(theta / (math.pi / 2)).astype(jnp.int32)
+    phi = theta - q.astype(jnp.float32) * (math.pi / 2)
+    qm = jnp.mod(q, 4)
+    # I'(w+c) = I(R(q·π/2)w + c): rot90(x, -q) on [y, x] arrays
+    folded = jax.lax.switch(
+        qm,
+        [lambda a: a,
+         lambda a: jnp.rot90(a, -1),
+         lambda a: jnp.rot90(a, 2),
+         lambda a: jnp.rot90(a, 1)],
+        x,
+    )
+    # e = R(-q·π/2)·d (rotate the displacement into the folded frame)
+    dy, dx = disp[0], disp[1]
+    ey, ex = jax.lax.switch(
+        qm,
+        [lambda a, b: (a, b),
+         lambda a, b: (b, -a),
+         lambda a, b: (-a, -b),
+         lambda a, b: (-b, a)],
+        dy, dx,
+    )
+    ey = jnp.clip(ey, -max_disp, max_disp)
+    ex = jnp.clip(ex, -max_disp, max_disp)
+
+    p = -jnp.tan(phi / 2.0)  # |p| ≤ tan(π/8)
+    s = jnp.sin(phi)         # |s| ≤ sin(π/4)
+    pmax, smax = math.tan(math.pi / 8) + 1e-6, math.sin(math.pi / 4) + 1e-6
+
+    line = jnp.arange(S, dtype=jnp.float32) - c  # centered line coordinate
+
+    # pass 1 (y-shear feeding the chain): σ1(v) = p·x̃ + (e_y - p·e_x)
+    # pass 2 (x-shear):                   σ2(v) = s·ỹ + e_x
+    # pass 3 (y-shear):                   σ3(v) = p·x̃
+    # Composition (H_p·V_s·H_p with the injected fields) reproduces
+    # R(φ)·ṽ + e exactly at the field positions (2×2 solve, det = 1).
+    eta1 = ey - p * ex
+    w1 = int(math.ceil(0.5 + (1.0 + pmax) * max_disp)) + 1
+    w2 = int(math.ceil(0.5 + max_disp)) + 1
+
+    out = _shear_pass(folded, p * line, eta1, axis=0,
+                      kmax=int(math.ceil(pmax * c)) + 1, window=w1)
+    out = _shear_pass(out, s * line, ex, axis=1,
+                      kmax=int(math.ceil(smax * c)) + 1, window=w2)
+    out = _shear_pass(out, p * line, None, axis=0,
+                      kmax=int(math.ceil(pmax * c)) + 1, window=1)
+
+    off = [(S - t) // 2 for t in target_shape]
+    return jax.lax.dynamic_slice(out, off, list(target_shape))
+
+
+def _shear_pass(
+    img: Array,
+    line_shift: Array,
+    residual_field: Optional[Array],
+    axis: int,
+    kmax: int,
+    window: int,
+) -> Array:
+    """out(v) = img(v + σ(v)·ê_axis), σ = line_shift[other axis] + residual.
+
+    ``line_shift``: (S,) float shift per perpendicular line. Its rounded
+    integer part is applied with log2 roll+select passes; the fractional
+    remainder plus ``residual_field`` (|·| ≤ window-0.5, clamped upstream)
+    is a (2·window+3)-term hat-weighted sum of static rolls.
+    """
+    S = img.shape[axis]
+    k = jnp.round(line_shift).astype(jnp.int32)
+    k = jnp.clip(k, -kmax, kmax)
+    u = k + kmax  # [0, 2·kmax]
+    nbits = max(1, int(math.ceil(math.log2(2 * kmax + 1))))
+
+    # reshape per-line quantities to broadcast along `axis`
+    exp = (lambda a: a[:, None]) if axis == 1 else (lambda a: a[None, :])
+
+    rolled = jnp.roll(img, kmax, axis=axis)
+    for b in range(nbits):
+        r = jnp.roll(rolled, -(1 << b), axis=axis)
+        bit = ((u >> b) & 1) > 0
+        rolled = jnp.where(exp(bit), r, rolled)
+
+    res = exp(line_shift - k.astype(jnp.float32))
+    if residual_field is not None:
+        res = res + residual_field
+    res = jnp.clip(res, -(window - 1e-4), window - 1e-4)
+    out = jnp.zeros_like(rolled)
+    for d in range(-window, window + 2):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(res - d))
+        out = out + w * jnp.roll(rolled, -d, axis=axis)
+    return out
+
+
+def elastic_params(
+    key: jax.Array,
+    canvas_shape: Sequence[int],
+    control_point_spacing: Sequence[int],
+    jitter_sigma: Sequence[float],
+    rotation_interval: Tuple[float, float] = (0.0, math.pi / 2),
+    subsample: int = 4,
+    num_rotation_draws: int = 1,
+) -> Tuple[Array, Array]:
+    """(theta, displacement field on the CANVAS grid) for :func:`warp_shears`.
+
+    Same draws as :func:`elastic_coordinates` (rotation key, then field key)
+    but the field is generated at canvas resolution because the shear
+    passes evaluate it at their own grid positions.
+    """
+    k_rot, k_disp = jax.random.split(key)
+    lo, hi = rotation_interval
+    theta = jnp.sum(
+        jax.random.uniform(k_rot, (num_rotation_draws,), minval=lo, maxval=hi)
+    )
+    disp = _displacement_field(
+        k_disp, canvas_shape, control_point_spacing, jitter_sigma, subsample
+    )
+    return theta, disp
+
+
 def elastic_augment(
     arrays: Dict[str, Array],
     key: jax.Array,

@@ -54,7 +54,7 @@ class BaseSystem:
         "random_location_kwargs", "max_labels", "grow_boundary", "pad",
         "interp_order", "elastic_aug1_kwargs", "elastic_aug2_kwargs",
         "intensity_aug_kwargs", "stream", "stream_kwargs", "min_coefvar",
-        "matmul_precision",
+        "matmul_precision", "exact_warp",
         # optimization
         "optim_type", "optim_kwargs", "scheduler", "scheduler_kwargs",
         "g_optim_type", "g_optim_kwargs", "d_optim_type", "d_optim_kwargs",

@@ -24,6 +24,7 @@ order and gradient flow:
 
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -38,11 +39,13 @@ from ..io import (
     DeviceVolumeSampler,
     elastic_coordinates,
     elastic_margin,
+    elastic_params,
     intensity_scale_shift,
     normalize,
     open_ds,
     simple_augment,
     warp,
+    warp_shears,
 )
 from ..nn.layers import center_crop, interpolate
 from ..train.loop import Trainer
@@ -350,20 +353,43 @@ class CycleGAN(BaseSystem):
 
     def _augment_side(self, key, crop) -> jax.Array:
         """Augment graph for one raw crop — shared by the device sampler
-        path and the host-streaming path (``stream: true``)."""
+        path and the host-streaming path (``stream: true``).
+
+        The elastic warp defaults to the gather-free 3-shear route for 2D
+        crops (io/augment.py ``warp_shears``: 3.3 vs 81 ms per batch-6 at
+        512², scripts/perf_warp2.py) — an equal-distribution augment, not
+        bit-identical to map_coordinates. ``"exact_warp": true`` (or 3D
+        mode) keeps the direct bilinear gather."""
         ks = jax.random.split(key, 2)
         extra = crop.ndim - self.ndims
         if extra:  # drop leading singleton z for 2D-in-3D mode
             crop = crop.reshape(crop.shape[extra:])
         raw = normalize(crop)
         target = (self.side_length,) * self.ndims
-        coords = elastic_coordinates(
-            ks[0], raw.shape, target,
-            self.elastic_kwargs["control_point_spacing"],
-            self.elastic_kwargs["jitter_sigma"],
-            subsample=self.elastic_kwargs["subsample"],
+        use_shears = (
+            self.ndims == 2
+            and not bool(self.exact_warp)
+            and raw.shape[0] == raw.shape[1]
         )
-        raw = warp(raw, coords, order=1)
+        if use_shears:
+            theta, disp = elastic_params(
+                ks[0], raw.shape,
+                self.elastic_kwargs["control_point_spacing"],
+                self.elastic_kwargs["jitter_sigma"],
+                subsample=self.elastic_kwargs["subsample"],
+            )
+            max_disp = float(
+                math.ceil(3.0 * max(self.elastic_kwargs["jitter_sigma"])) + 1
+            )
+            raw = warp_shears(raw, theta, disp, target, max_disp=max_disp)
+        else:
+            coords = elastic_coordinates(
+                ks[0], raw.shape, target,
+                self.elastic_kwargs["control_point_spacing"],
+                self.elastic_kwargs["jitter_sigma"],
+                subsample=self.elastic_kwargs["subsample"],
+            )
+            raw = warp(raw, coords, order=1)
         raw = simple_augment({"x": raw}, ks[1], ndims=self.ndims)["x"]
         return intensity_scale_shift(raw, 2, -1)[..., None].astype(self.dtype)
 

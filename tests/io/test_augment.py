@@ -132,3 +132,103 @@ class TestDeviceVolumeSampler:
         batch = s.sample_batch(jax.random.PRNGKey(0), 8)
         # all crops fully in masked region → cell_mask crops all ones
         assert float(jnp.min(batch["cell_mask"])) == 1.0
+
+
+class TestWarpShears:
+    """Gather-free 3-shear elastic warp (io/augment.py warp_shears).
+
+    Not bit-identical to map_coordinates by design (3 linear interps vs one
+    bilinear; jitter fields read at pass positions) — these tests pin the
+    exactness islands and bound the divergence elsewhere. Reference
+    capability: gp.ElasticAugment (``io/CycleDataPipe.py:139-150``)."""
+
+    S, T = 96, 48
+
+    def _direct(self, img, theta, disp, max_disp=4.0):
+        import math
+
+        from raygun_tpu.io import warp
+
+        S, T = self.S, self.T
+        c = (S - 1) / 2.0
+        off = (S - T) // 2
+        g = jnp.meshgrid(jnp.arange(T, dtype=jnp.float32) + off - c,
+                         jnp.arange(T, dtype=jnp.float32) + off - c,
+                         indexing="ij")
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        dc = jnp.clip(disp[:, off:off + T, off:off + T], -max_disp, max_disp)
+        coords = jnp.stack([ct * g[0] - st * g[1] + dc[0] + c,
+                            st * g[0] + ct * g[1] + dc[1] + c])
+        return warp(img, coords, order=1)
+
+    @pytest.mark.parametrize("q", [0, 1, 2, 3])
+    def test_quadrant_rotations_exact(self, q):
+        import math
+
+        from raygun_tpu.io import warp_shears
+
+        img = jnp.asarray(
+            np.random.default_rng(3).random((self.S, self.S)), jnp.float32)
+        theta = jnp.float32(q * math.pi / 2)
+        disp = jnp.zeros((2, self.S, self.S), jnp.float32)
+        fast = warp_shears(img, theta, disp, (self.T, self.T), max_disp=4.0)
+        direct = self._direct(img, theta, disp)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(direct), atol=2e-5)
+
+    @pytest.mark.parametrize("theta", [0.31, 0.78, 1.13, -0.4])
+    def test_pure_rotation_exact_on_linear_image(self, theta):
+        # every interpolation (bilinear or shear-linear) is exact on an
+        # affine image, and with zero jitter the shear COORDINATE
+        # composition is exact, so the two routes must agree to roundoff.
+        from raygun_tpu.io import warp_shears
+
+        y, x = jnp.meshgrid(jnp.arange(self.S, dtype=jnp.float32),
+                            jnp.arange(self.S, dtype=jnp.float32),
+                            indexing="ij")
+        img = 0.3 + 0.01 * y - 0.007 * x
+        disp = jnp.zeros((2, self.S, self.S), jnp.float32)
+        fast = warp_shears(img, jnp.float32(theta), disp,
+                           (self.T, self.T), max_disp=4.0)
+        direct = self._direct(img, jnp.float32(theta), disp)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(direct), atol=1e-4)
+
+    def test_jitter_only_close_on_smooth_image(self):
+        from raygun_tpu.io import elastic_params, warp_shears
+
+        key = jax.random.PRNGKey(7)
+        img = jax.random.uniform(key, (self.S, self.S), jnp.float32)
+        for _ in range(4):
+            img = (img + jnp.roll(img, 1, 0) + jnp.roll(img, -1, 0)
+                   + jnp.roll(img, 1, 1) + jnp.roll(img, -1, 1)) / 5.0
+        theta, disp = elastic_params(
+            key, (self.S, self.S), (12, 12), (1.0, 1.0), subsample=2)
+        disp = jnp.clip(disp, -4.0, 4.0)
+        fast = warp_shears(img, jnp.float32(0.0), disp,
+                           (self.T, self.T), max_disp=4.0)
+        direct = self._direct(img, jnp.float32(0.0), disp)
+        err = np.abs(np.asarray(fast) - np.asarray(direct))
+        # pass-position field evaluation shifts coordinates by ≤ ~0.5 px
+        assert err.max() < 0.05, err.max()
+
+    def test_determinism_and_batch(self):
+        from raygun_tpu.io import elastic_params, warp_shears
+
+        key = jax.random.PRNGKey(11)
+        imgs = jax.random.uniform(key, (3, self.S, self.S), jnp.float32)
+
+        def one(im, k):
+            theta, disp = elastic_params(
+                k, (self.S, self.S), (12, 12), (1.0, 1.0), subsample=2)
+            return warp_shears(im, theta, disp, (self.T, self.T),
+                               max_disp=4.0)
+
+        keys = jax.random.split(key, 3)
+        a = jax.jit(jax.vmap(one))(imgs, keys)
+        b = jax.jit(jax.vmap(one))(imgs, keys)
+        assert a.shape == (3, self.T, self.T)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(a)).all()
+        # distinct keys give distinct warps
+        assert not np.allclose(np.asarray(a[0]), np.asarray(a[1]))

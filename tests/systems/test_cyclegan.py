@@ -225,3 +225,52 @@ def test_bfloat16_mixed_precision_step(tmp_path):
     # and a second step still finite (optimizer state consistent)
     state, metrics = step(state, jax.random.PRNGKey(2))
     assert jnp.isfinite(metrics["Total_Loss/G1"])
+
+
+def test_fast_warp_default_and_exact_warp_optout(tmp_path):
+    """2D systems default to the gather-free 3-shear warp; "exact_warp":
+    true keeps map_coordinates. Both produce finite, in-range batches."""
+    from raygun_tpu.systems import load_system
+
+    src = make_cyclegan_dataset(
+        str(tmp_path / "data.zarr"), shape=(128, 128),
+        voxel_size_a=(90, 90), voxel_size_b=(90, 90),
+    )
+    base = {
+        "system": "CycleGAN",
+        "sources": {
+            "A": {"path": src["path"], "name": src["A"]},
+            "B": {"path": src["path"], "name": src["B"]},
+        },
+        "common_voxel_size": [90, 90],
+        "ndims": 2,
+        "side_length": 32,
+        "batch_size": 2,
+        "gnet_kwargs": {
+            "input_nc": 1, "output_nc": 1, "ngf": 4, "n_blocks": 1,
+            "n_downsampling": 1, "padding_type": "same",
+            "final_activation": "tanh",
+        },
+        "dnet_kwargs": {"input_nc": 1, "ngf": 4, "n_layers": 2, "kw": 3,
+                        "downsampling_kw": 2},
+        "model_path": str(tmp_path / "models") + "/",
+    }
+    cfg_fast = tmp_path / "fast.json"
+    cfg_fast.write_text(json.dumps(base))
+    sys_fast = load_system(str(cfg_fast))
+    sys_fast.setup_datapipes()
+    assert not sys_fast.exact_warp
+
+    cfg_exact = tmp_path / "exact.json"
+    cfg_exact.write_text(json.dumps({**base, "exact_warp": True}))
+    sys_exact = load_system(str(cfg_exact))
+    sys_exact.setup_datapipes()
+
+    key = jax.random.PRNGKey(0)
+    b_fast = jax.jit(sys_fast.make_batch)(key)
+    b_exact = jax.jit(sys_exact.make_batch)(key)
+    for b in (b_fast, b_exact):
+        a = np.asarray(b["real_A"], np.float32)
+        assert np.isfinite(a).all()
+        assert a.min() >= -1.001 and a.max() <= 1.001
+    assert b_fast["real_A"].shape == b_exact["real_A"].shape
