@@ -616,7 +616,7 @@ class ConvNd(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, params_only: bool = False):
         nd = len(self.kernel_size)
         strides = _norm_tuple(self.strides, nd)
         pads = [(0, 0)] * nd
@@ -645,6 +645,11 @@ class ConvNd(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            # probe call: create/return the params with the exact same
+            # tree (fused multi-layer routes, e.g. nn/pallas/resblock,
+            # consume them directly while checkpoints stay interchangeable)
+            return kernel, bias
         compute_dtype = self.dtype or x.dtype
         k = kernel.astype(compute_dtype)
         x = x.astype(compute_dtype)
