@@ -256,11 +256,25 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
         dP = optax.apply_updates(dP, dupd)
         return {**gP, **dP}, {"G": gos, "D": dos}, gl + dl
 
+    # FLOP accounting: count the MODEL's nominal flops — lower with the
+    # pallas resblocks OFF (custom calls are invisible to cost analysis)
+    # and the packed shell OFF (its head fold algebraically removes the
+    # reference assembly's 7x7 ngf->ngf + 1x1 head flops; MFU must credit
+    # the model, not the shortcut) — then time the real (routed) program
+    import os as _os
+
+    _os.environ["RAYGUN_DISABLE_PALLAS_RESBLOCK"] = "1"
+    _os.environ["RAYGUN_DISABLE_PACKED_SHELL"] = "1"
+    try:
+        ref = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
+        cost = ref.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0))  # scan body counted once
+    finally:
+        _os.environ.pop("RAYGUN_DISABLE_PALLAS_RESBLOCK", None)
+        _os.environ.pop("RAYGUN_DISABLE_PACKED_SHELL", None)
     compiled = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    step_flops = float(cost.get("flops", 0.0))  # scan body counted once
     _ = float(compiled(params, opt, jax.random.PRNGKey(2)))
     best = 1e9
     for rep in range(2):

@@ -393,6 +393,82 @@ def pack_conv_kernel_s2d(
     return W2.reshape(ntaps + (F * ci, F * co))
 
 
+def _pack_matrix_io(kernel_size, f_in, f_out, fine_stride, starts):
+    """0/1 scatter M[t_flat, u_flat, v_flat, R_flat] for mixed-granularity
+    s2d-packed convs: with the input packed by ``f_in`` (cell q, phase v =
+    fine ``fine0 + f_in*q + v``) and the output packed by ``f_out`` (cell P,
+    phase R = fine output ``f_out*P + R``), the fine conv
+    ``y[j] = sum_t x_fine[start + fine_stride*j + t] * w[t]`` becomes a
+    coarse VALID conv of stride ``fine_stride*f_out // f_in`` whose kernel
+    tap (u, v -> R) carries w[t] iff ``f_in*u + v == start + fine_stride*R
+    + t`` per dim (unique t => pure scatter, exact in any dtype).
+    ``starts`` must satisfy ``0 <= start < f_in`` (fold the excess into the
+    caller's coarse slice/pad)."""
+    import itertools as it
+
+    ks = tuple(kernel_size)
+    fi, fo, sf, os_ = tuple(f_in), tuple(f_out), tuple(fine_stride), tuple(starts)
+    for o, f in zip(os_, fi):
+        if not 0 <= o < f:
+            raise ValueError(f"start {o} outside [0, f_in={f})")
+    for s, f_o, f_i in zip(sf, fo, fi):
+        if (s * f_o) % f_i:
+            raise ValueError("fine_stride*f_out must be divisible by f_in")
+    ntaps = tuple(
+        (o + s * (f_o - 1) + k - 1) // f_i + 1
+        for o, s, f_o, k, f_i in zip(os_, sf, fo, ks, fi)
+    )
+    M = np.zeros(
+        (int(np.prod(ks)), int(np.prod(ntaps)), int(np.prod(fi)), int(np.prod(fo))),
+        np.float32,
+    )
+
+    def flat(idx, dims):
+        out = 0
+        for i, d in zip(idx, dims):
+            out = out * d + i
+        return out
+
+    for u in it.product(*[range(n) for n in ntaps]):
+        for v in it.product(*[range(f) for f in fi]):
+            for R in it.product(*[range(f) for f in fo]):
+                t = tuple(
+                    f_i * uu + vv - s * rr - oo
+                    for f_i, uu, vv, s, rr, oo in zip(fi, u, v, sf, R, os_)
+                )
+                if all(0 <= tt < k for tt, k in zip(t, ks)):
+                    M[flat(t, ks), flat(u, ntaps), flat(v, fi), flat(R, fo)] = 1.0
+    return M, ntaps
+
+
+def pack_conv_kernel_io(
+    kernel: Array,
+    f_in: Sequence[int],
+    f_out: Sequence[int],
+    fine_stride: Sequence[int],
+    starts: Sequence[int],
+) -> Tuple[Array, Tuple[int, ...], Tuple[int, ...]]:
+    """Pack ``kernel`` (*k, ci, co) for a conv whose input is s2d-packed by
+    ``f_in`` and whose output is produced s2d-packed by ``f_out`` (phase-
+    major channel order on both sides, matching :func:`space_to_depth`).
+    Generalizes :func:`pack_conv_kernel_s2d` (that is f_in == f_out,
+    fine_stride 1) and covers strided convs (f_out=1, fine_stride=s: output
+    lands directly on the strided grid) and phase-aggregated small-co convs
+    (f_out=8: N = 64*co keeps the MXU busy where co=1 would idle 127/128
+    lanes — the CycleGAN head). Returns ``(w2, ntaps, coarse_strides)``;
+    run ``lax.conv(xp_padded, w2, coarse_strides, 'VALID')``."""
+    nd = kernel.ndim - 2
+    ks = tuple(kernel.shape[:nd])
+    ci, co = kernel.shape[-2], kernel.shape[-1]
+    M, ntaps = _pack_matrix_io(ks, f_in, f_out, fine_stride, starts)
+    Fi, Fo = int(np.prod(f_in)), int(np.prod(f_out))
+    Mj = jnp.asarray(M, kernel.dtype)
+    Wt = kernel.reshape((int(np.prod(ks)), ci, co))
+    W2 = jnp.einsum("tuvr,tcd->uvcrd", Mj, Wt)
+    cstr = tuple(s * f_o // f_i for s, f_o, f_i in zip(fine_stride, f_out, f_in))
+    return W2.reshape(ntaps + (Fi * ci, Fo * co)), ntaps, cstr
+
+
 def phase_max_pool(xp: Array, factors: Sequence[int], channels: int) -> Array:
     """Max-pool with window=stride=factors, expressed on an s2d-packed
     tensor: a pure channel-group max (no spatial reduce) — the packed
@@ -772,7 +848,7 @@ class ConvTransposeNd(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, params_only: bool = False):
         nd = len(self.kernel_size)
         strides = _norm_tuple(self.strides, nd)
         cin = x.shape[-1]
@@ -784,6 +860,10 @@ class ConvTransposeNd(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,))
             if self.use_bias else None
         )
+        if params_only:
+            # probe call: see ConvNd.params_only (fused routes consume the
+            # params directly; checkpoints stay interchangeable)
+            return kernel, bias
         compute_dtype = self.dtype or x.dtype
         k = kernel.astype(compute_dtype)
         x = x.astype(compute_dtype)

@@ -1,0 +1,230 @@
+"""Space-to-depth packed execution of the CycleGAN/ResNet generator SHELL.
+
+The generator's full-resolution layers (reference ``ResNet.py:51-117``:
+7-wide stem 1->ngf, stride-2 down conv ngf->2ngf, transposed up conv
+2ngf->ngf, 7-wide head ngf->1) all carry C < 128 channels at the largest
+spatial extent. Measured on v5e at the production 3x512^2 workload
+(scripts/perf_shell_ops.py, perf_in_boundary.py), that is catastrophic
+under XLA:
+
+  * any materialized C=64 bf16 tensor is lane-padded 2x AND the conv
+    emitter switches to ``OutputBatchInSublanes`` layout {3,0,2,1}; every
+    consumer that needs the standard layout (the instance-norm stats
+    reduction, Pallas or XLA alike) inserts a ~2 ms relayout copy;
+  * C_out=1 convs (head fwd, stem dx) idle 127/128 MXU lanes: 4.5 ms for
+    4.9 GFLOP.
+
+This module re-expresses the whole shell on 2x2 space-to-depth packed
+tensors — stem output, up_1 output and head input live as
+``(B, H/2, W/2, 4*ngf)`` (>=128 full lanes, standard layouts, zero
+relayouts between ops) — using exact kernel re-indexings
+(:func:`raygun_tpu.nn.layers.pack_conv_kernel_io`):
+
+  stem   fine reflect-pad + 7x7 valid  -> packed 4x4-tap conv, f2 -> f2
+  down_0 fine zero-pad-1 3x3 stride-2  -> packed 2x2-tap conv, f2 -> strided
+  up_1   3x3 convT s2 (subpixel form)  -> the subpixel conv IS the packed
+                                          layout; just skip depth_to_space
+  head   fine reflect-pad + 7x7 valid  -> packed 8x8-tap stride-4 conv
+                                          with an 8x8-PACKED output grid
+                                          (N = 64*co keeps the MXU busy
+                                          where co=1 would idle it)
+  IN+act on packed tensors             -> per-channel stats fold across
+                                          the 4 phase groups in the Pallas
+                                          kernels (instance_norm_act_packed)
+
+Every function is an exact re-expression of the same math (parity- and
+gradient-parity-tested, tests/nn/test_packed_shell.py); parameters are
+created through the SAME flax modules, so checkpoints swap freely between
+routes (the ResnetBlock fused-route pattern, nn/resnet.py:52-80).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    Array,
+    conv_dimension_numbers_nd,
+    depth_to_space,
+    pack_conv_kernel_io,
+    pad_spatial,
+    space_to_depth,
+)
+
+
+def _conv(xp: Array, w2: Array, strides) -> Array:
+    return jax.lax.conv_general_dilated(
+        xp, w2, tuple(strides), "VALID",
+        dimension_numbers=conv_dimension_numbers_nd(2),
+    )
+
+
+def packed_shell_ok(x: Array, ngf: int) -> bool:
+    """Gate for the packed-shell route: 2D channels-last batch input with
+    fine extents divisible by 8 (head's 8x8 output packing), on TPU, large
+    enough that lane-padding/relayout costs dominate (the same 2^21
+    threshold as the Pallas instance norm). RAYGUN_FORCE_PACKED_SHELL=1
+    forces it on CPU (parity tests); RAYGUN_DISABLE_PACKED_SHELL=1 wins
+    over everything (A/B measurement)."""
+    import os
+
+    if os.environ.get("RAYGUN_DISABLE_PACKED_SHELL"):
+        return False
+    if x.ndim != 4:
+        return False
+    H, W = x.shape[1], x.shape[2]
+    if H % 8 or W % 8 or H < 16 or W < 16:
+        return False
+    if os.environ.get("RAYGUN_FORCE_PACKED_SHELL"):
+        return True
+    from .pallas.instance_norm import tpu_available
+
+    if not tpu_available():
+        return False
+    return x.shape[0] * H * W * ngf >= (1 << 21)
+
+
+def stem_packed(x: Array, w: Array, b: Array) -> Array:
+    """Reflect-pad(3) + 7x7 valid conv (reference ``ResNet.py:51-63``),
+    packed: the (tiny) fine input is padded and s2d-packed, the conv runs
+    coarse with 4x4 taps producing the packed stem activation directly.
+    x: (B, H, W, ci) with H, W even -> (B, H/2, W/2, 4*co)."""
+    xpad = pad_spatial(x, [(3, 3)] * 2, "reflect")
+    xp = space_to_depth(xpad, (2, 2))
+    w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (2, 2), (1, 1), (0, 0))
+    y = _conv(xp, w2.astype(x.dtype), cstr)
+    if b is not None:
+        y = y + jnp.tile(b, 4).astype(y.dtype)
+    return y
+
+
+def down0_from_packed(xp: Array, w: Array, b: Array) -> Array:
+    """Zero-pad-1 3x3 stride-2 conv (reference ``ResNet.py:70-79``) read
+    DIRECTLY from the packed stem activation; the stride-2 output grid is
+    the coarse grid itself, so the result is a plain unpacked tensor.
+    xp: (B, Hc, Wc, 4*ci) -> (B, Hc, Wc, co)."""
+    # fine window start = -1 (the zero pad): one zero coarse cell on the
+    # low side only (the high-side fine pad is never read: last window
+    # starts at fine 2*(Hc-1)-1), start-within-cell o = 1
+    xq = jnp.pad(xp, [(0, 0), (1, 0), (1, 0), (0, 0)])
+    w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (1, 1), (2, 2), (1, 1))
+    y = _conv(xq, w2.astype(xp.dtype), cstr)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def up1_to_packed(x: Array, w: Array, b: Array) -> Array:
+    """3x3 stride-2 pad-1 outpad-1 transposed conv (reference
+    ``ResNet.py:105-114``) via the subpixel decomposition, KEEPING the
+    per-phase channel layout instead of depth_to_space'ing it — the
+    subpixel output IS the s2d-packed tensor (phase-major order matches).
+    x: (B, Hc, Wc, ci) -> (B, Hc, Wc, 4*co) representing (2Hc, 2Wc, co)."""
+    from .layers import _pack_conv_transpose_matrix
+    import itertools as it
+    import numpy as np
+
+    ci, co = w.shape[-2], w.shape[-1]
+    k = w.shape[0]
+    M1 = _pack_conv_transpose_matrix(k)
+    Mfull = np.zeros((k * k, 4, 4), np.float32)
+    for t in it.product(range(k), repeat=2):
+        for u in it.product(range(2), repeat=2):
+            for r in it.product(range(2), repeat=2):
+                v = M1[t[0], u[0], r[0]] * M1[t[1], u[1], r[1]]
+                if v:
+                    Mfull[t[0] * k + t[1], u[0] * 2 + u[1], r[0] * 2 + r[1]] = v
+    wt = w.reshape((k * k, ci, co))
+    w2 = jnp.einsum("tur,tcd->ucrd", jnp.asarray(Mfull, w.dtype), wt)
+    w2 = w2.reshape((2, 2, ci, 4 * co)).astype(x.dtype)
+    xq = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
+    y = _conv(xq, w2, (1, 1))
+    if b is not None:
+        y = y + jnp.tile(b, 4).astype(y.dtype)
+    return y
+
+
+def packed_reflect_pad3(xp: Array) -> Array:
+    """Fine reflect-pad of width 3 expressed on the f=2 packed tensor: two
+    synthetic coarse cells per side built from phase-swapped edge strips
+    (fine row -1 = row 1 lives at coarse 0 phase 1, etc.); the outermost
+    fine row of each side (fine -4 / N+3) is zero-filled — the packed
+    kernel's scatter matrix carries zero weight there by construction.
+    (B, Hc, Wc, 4C) -> (B, Hc+4, Wc+4, 4C) with fine origin at -4."""
+    C4 = xp.shape[-1]
+    Cq = C4 // 4
+    ch = jax.lax.broadcasted_iota(jnp.int32, (C4,), 0)
+    # channel = (vy, vx, c): vy is the top half bit, vx the quarter parity.
+    # Pad rows are built as MASK SELECTS over full rows — never as concats
+    # of channel slices from two different rows: XLA:TPU miscompiles that
+    # fusion under jit (verified 2026-08: jit-vs-eager max|d| 5.4 in the
+    # pad strips from `concat([rowA[..., :C/2], rowB[..., C/2:]], -1)`;
+    # a select between full rows is bit-exact).
+    mask = {1: ch < C4 // 2, 2: (ch // Cq) % 2 == 0}
+
+    def pad_axis(t, axis):
+        n = t.shape[axis]
+        m = mask[axis]
+
+        def row(i):
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(i, i + 1)
+            return t[tuple(sl)]
+
+        def mix(lo_phase_row, hi_phase_row):
+            # phase-0 channels from the first row, phase-1 from the second
+            a = lo_phase_row if lo_phase_row is not None else 0.0
+            b = hi_phase_row if hi_phase_row is not None else 0.0
+            return jnp.where(m, a, b).astype(t.dtype)
+
+        r0, r1, rn1, rn2 = row(0), row(1), row(n - 1), row(n - 2)
+        m2 = mix(None, r1)   # fine (-4: junk,  -3 = fine 3)
+        m1 = mix(r1, r0)     # fine (-2 = 2,    -1 = 1)
+        p0 = mix(rn1, rn2)   # fine (N = N-2,   N+1 = N-3)
+        p1 = mix(rn2, None)  # fine (N+2 = N-4, N+3: junk)
+        return jnp.concatenate([m2, m1, t, p0, p1], axis=axis)
+
+    return pad_axis(pad_axis(xp, 1), 2)
+
+
+def head_f_out(co: int) -> int:
+    """Output packing factor for the 7x7 head: widen N = f^2*co toward the
+    MXU's 128 lanes for narrow heads, but no further — every doubling of f
+    also grows the packed K (tap window), so over-packing a WIDE head
+    multiplies real FLOPs (measured: co=64 at f=8 is N=4096, 1.65 TF/apply
+    — the source of a 62 ms/step regression before this policy)."""
+    import os
+
+    forced = os.environ.get("RAYGUN_PACKED_HEAD_FOUT")
+    if forced:
+        return int(forced)
+    if co <= 2:
+        return 8
+    if co <= 8:
+        return 4
+    return 2
+
+
+def head_from_packed(xp: Array, w: Array, b: Array) -> Array:
+    """Reflect-pad(3) + 7x7 valid conv to co outputs (reference
+    ``ResNet.py:116-117``), read from the packed tensor and produced on an
+    f x f-PACKED output grid (f from :func:`head_f_out`): N = f^2*co
+    instead of co, so the MXU runs full lanes where the fine formulation
+    (co=1) idles 127/128 of them (measured 4.5 ms -> see
+    docs/PERFORMANCE.md). One tiny depth_to_space (f^2*4x fewer elements
+    than the input) unpacks the result.
+    xp: (B, Hc, Wc, 4*ci) -> (B, 2Hc, 2Wc, co); requires 2Hc % f == 0."""
+    co = w.shape[-1]
+    f = head_f_out(co)
+    while (2 * xp.shape[1]) % f or (2 * xp.shape[2]) % f:
+        f //= 2
+    xq = packed_reflect_pad3(xp)
+    # fine origin -4, head window starts at fine -3 -> start-in-cell o = 1
+    w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (f, f), (1, 1), (1, 1))
+    y = _conv(xq, w2.astype(xp.dtype), cstr)
+    if b is not None:
+        y = y + jnp.tile(b, f * f).astype(y.dtype)
+    return depth_to_space(y, (f, f))

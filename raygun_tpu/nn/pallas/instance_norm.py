@@ -99,11 +99,20 @@ def _normalize_add_kernel(x_ref, res_ref, mean_ref, rstd_ref, y_ref):
     y_ref[0] = ((xb - m[None, :]) * r[None, :] + rb).astype(y_ref.dtype)
 
 
-def _moments(x3: Array, eps: float) -> Tuple[Array, Array]:
-    """Per-(b, c) mean and rsqrt(var + eps), fp32, via the stats kernel."""
+def _moments(x3: Array, eps: float, group: int = None) -> Tuple[Array, Array]:
+    """Per-(b, c) mean and rsqrt(var + eps), fp32, via the stats kernel.
+
+    ``group=f``: ``x3`` is ALREADY phase-major folded (s2d-packed layout,
+    channel = phase*C + c) — stats fold across the f phase groups without
+    any reshape of the data (exact: IN doesn't care where fine voxels sit)."""
     B, S, C = x3.shape
-    f = _fold_factor(S, C)
-    xf = _fold(x3, f)
+    if group is None:
+        f = _fold_factor(S, C)
+        xf = _fold(x3, f)
+    else:
+        f = group
+        C = C // f
+        xf = x3
     Sf, Cf = xf.shape[1], xf.shape[2]
     sums = pl.pallas_call(
         functools.partial(_stats_kernel, Sf),
@@ -118,8 +127,9 @@ def _moments(x3: Array, eps: float) -> Tuple[Array, Array]:
     )(xf)
     if f > 1:
         sums = sums.reshape(B, 2, f, C).sum(axis=2)
-    mean = sums[:, 0, :] / S
-    var = sums[:, 1, :] / S - mean * mean
+    n = Sf * f  # fine elements per (b, c); == S on the unfolded path
+    mean = sums[:, 0, :] / n
+    var = sums[:, 1, :] / n - mean * mean
     rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     return mean, rstd
 
@@ -135,15 +145,21 @@ def _chan_spec(C):
 
 
 def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
-               residual: Array = None) -> Array:
+               residual: Array = None, group: int = None) -> Array:
     B, S, C = x3.shape
-    f = _fold_factor(S, C)
-    xf = _fold(x3, f)
+    if group is None:
+        f = _fold_factor(S, C)
+        xf = _fold(x3, f)
+    else:
+        f = group
+        C = C // f
+        xf = x3
     Sf, Cf = xf.shape[1], xf.shape[2]
     if f > 1:
         mean = jnp.tile(mean, (1, f))
         rstd = jnp.tile(rstd, (1, f))
     if residual is not None:
+        resf = residual if group is not None else _fold(residual, f)
         y = pl.pallas_call(
             _normalize_add_kernel,
             grid=(B, _grid_tiles(Sf)),
@@ -151,8 +167,8 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
                       _chan_spec(Cf)],
             out_specs=_tile_spec(Cf),
             out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
-        )(xf, _fold(residual, f), mean[:, None, :], rstd[:, None, :])
-        return _unfold(y, f, C)
+        )(xf, resf, mean[:, None, :], rstd[:, None, :])
+        return y if group is not None else _unfold(y, f, C)
     kernel = (_normalize_kernel if slope is None
               else functools.partial(_normalize_act_kernel, slope))
     y = pl.pallas_call(
@@ -162,7 +178,7 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
         out_specs=_tile_spec(Cf),
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
     )(xf, mean[:, None, :], rstd[:, None, :])
-    return _unfold(y, f, C)
+    return y if group is not None else _unfold(y, f, C)
 
 
 # ---------------------------------------------------------------------------
@@ -250,13 +266,18 @@ def _unfold(y3: Array, f: int, C: int) -> Array:
     return y3.reshape(B, Sf * f, C)
 
 
-def _bwd_dx(eps: float, slope, x3, mean, rstd, g3) -> Array:
+def _bwd_dx(eps: float, slope, x3, mean, rstd, g3, group: int = None) -> Array:
     """dx of (act∘)instance_norm at the traffic floor: one grad-stats pass
     over (g, x), one apply pass. ``slope``: None = no activation,
-    0.0 = relu, else leaky-relu negative slope."""
+    0.0 = relu, else leaky-relu negative slope. ``group``: see _moments."""
     B, S, C = x3.shape
-    f = _fold_factor(S, C)
-    xf, gf = _fold(x3, f), _fold(g3, f)
+    if group is None:
+        f = _fold_factor(S, C)
+        xf, gf = _fold(x3, f), _fold(g3, f)
+    else:
+        f = group
+        C = C // f
+        xf, gf = x3, g3
     Sf, Cf = xf.shape[1], xf.shape[2]
     mean_f = jnp.tile(mean, (1, f)) if f > 1 else mean
     rstd_f = jnp.tile(rstd, (1, f)) if f > 1 else rstd
@@ -271,8 +292,9 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3) -> Array:
     )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :])
     if f > 1:
         sums = sums.reshape(B, 2, f, C).sum(axis=2)
-    mg = sums[:, 0, :] / S
-    mgy = sums[:, 1, :] / S
+    n = Sf * f
+    mg = sums[:, 0, :] / n
+    mgy = sums[:, 1, :] / n
     if f > 1:
         mg = jnp.tile(mg, (1, f))
         mgy = jnp.tile(mgy, (1, f))
@@ -285,7 +307,7 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3) -> Array:
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), g3.dtype),
     )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :], mg[:, None, :],
       mgy[:, None, :])
-    return _unfold(dx, f, C)
+    return dx if group is not None else _unfold(dx, f, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -376,3 +398,64 @@ def tpu_available() -> bool:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# packed (s2d) instance norm: stats fold across phase groups
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def instance_norm_act_packed_pallas(xp: Array, channels: int,
+                                    eps: float = 1e-5,
+                                    slope: float = 0.0) -> Array:
+    """act(instance_norm(x)) computed DIRECTLY on a space-to-depth packed
+    tensor ``xp`` (B, *Sc, F*channels), channel order phase-major (the
+    :func:`raygun_tpu.nn.layers.space_to_depth` convention). Per-true-
+    channel stats fold across the F phase groups; exact = unpack -> IN ->
+    act -> repack, with zero data movement (IN is position-agnostic).
+    This is what lets the CycleGAN generator shell stay packed end-to-end
+    (C>=128 lanes; avoids XLA's batch-in-sublanes conv layouts + relayout
+    copies at C=64, measured ~4 ms per boundary at 3x512^2 —
+    scripts/perf_in_boundary.py)."""
+    x3 = _as3d(xp)
+    f = x3.shape[-1] // channels
+    mean, rstd = _moments(x3, eps, group=f)
+    return _normalize(x3, mean, rstd, slope=slope, group=f).reshape(xp.shape)
+
+
+def _inpk_fwd(xp, channels, eps, slope):
+    x3 = _as3d(xp)
+    f = x3.shape[-1] // channels
+    mean, rstd = _moments(x3, eps, group=f)
+    y = _normalize(x3, mean, rstd, slope=slope, group=f).reshape(xp.shape)
+    return y, (x3, mean, rstd, xp.shape)
+
+
+def _inpk_bwd(channels, eps, slope, res, g):
+    x3, mean, rstd, shape = res
+    f = x3.shape[-1] // channels
+    dx = _bwd_dx(eps, slope, x3, mean, rstd, _as3d(g), group=f)
+    return (dx.reshape(shape),)
+
+
+instance_norm_act_packed_pallas.defvjp(_inpk_fwd, _inpk_bwd)
+
+
+def instance_norm_act_packed(xp: Array, channels: int, eps: float = 1e-5,
+                             slope: float = 0.0) -> Array:
+    """Platform-routing wrapper: Pallas on TPU, exact XLA math elsewhere
+    (CPU tests / debug). Semantics identical to
+    ``act(instance_norm(depth_to_space(xp)))`` re-packed."""
+    import os
+
+    if tpu_available() and not os.environ.get("RAYGUN_DISABLE_PALLAS_IN"):
+        return instance_norm_act_packed_pallas(xp, channels, eps, slope)
+    f = xp.shape[-1] // channels
+    xf = xp.astype(jnp.float32)
+    v = xf.reshape(xp.shape[:-1] + (f, channels))
+    axes = tuple(range(1, v.ndim - 1))  # spatial dims + the phase group
+    mean = jnp.mean(v, axis=axes, keepdims=True)
+    var = jnp.var(v, axis=axes, keepdims=True)
+    y = (v - mean) * jax.lax.rsqrt(var + eps)
+    y = jnp.where(y > 0, y, slope * y)
+    return y.reshape(xp.shape).astype(xp.dtype)

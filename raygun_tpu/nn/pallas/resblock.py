@@ -75,6 +75,11 @@ def resblock_fused_ok(x: Array) -> bool:
         return False
     if x.ndim != 4:
         return False
+    if x.dtype != jnp.bfloat16:
+        # the slab VMEM budget below is calibrated for 2-byte activations;
+        # a (1,128,128,256) fp32 input measured a 27.5 MB scoped-VMEM
+        # working set (> the 16 MB limit) — fp32 runs the unfused path
+        return False
     B, H, W, C = x.shape
     if C % 128 or W < 8 or H < 8 or _pick_slab(H, W, C) is None:
         return False

@@ -144,8 +144,31 @@ class ResNet(nn.Module):
             )
         super().__post_init__()
 
+    def uses_packed_shell(self, x: Array) -> bool:
+        """True iff __call__(x) will take the packed-shell route (static at
+        trace time; callers like the generator head wrapper use this to
+        fold their 1x1 conv into the packed head — systems/base.py)."""
+        from .packed_shell import packed_shell_ok
+
+        norm_ctor = make_norm(self.norm)
+        norm_name = self.norm if isinstance(self.norm, str) else (
+            "instance" if self.norm else "none")
+        use_bias = (norm_name.startswith("instance")
+                    or norm_name in ("none",) or self.norm is None)
+        return (
+            self.ndims == 2
+            and self.padding_type.lower() in ("reflect", "same")
+            and norm_ctor is InstanceNorm
+            and isinstance(self.activation, str)
+            and self.activation.lower() == "relu"
+            and self.n_downsampling == 2
+            and use_bias
+            and packed_shell_ok(x, self.ngf)
+        )
+
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 head_fold=None) -> Array:
         assert self.n_blocks >= 0
         nd = self.ndims
         act = get_activation(self.activation)
@@ -156,6 +179,81 @@ class ResNet(nn.Module):
         output_nc = self.output_nc if self.output_nc is not None else self.ngf
 
         pt = self.padding_type.lower()
+
+        # packed-shell route (TPU): the full-res stem/down_0/up_1/head run
+        # on 2x2 space-to-depth packed tensors (C >= 128 full lanes) —
+        # avoids XLA's batch-in-sublanes conv layouts + relayout copies at
+        # C=64 and the head's 127/128-idle MXU (measured ~12 ms/apply fwd
+        # at 3x512^2, scripts/perf_shell_ops.py). Exact re-expression;
+        # params through the SAME modules (checkpoints swap freely).
+        if self.uses_packed_shell(x):
+            from .packed_shell import (
+                down0_from_packed,
+                head_from_packed,
+                stem_packed,
+                up1_to_packed,
+            )
+            from .pallas.instance_norm import instance_norm_act_packed
+
+            dt = x.dtype
+            w_s, b_s = ConvNd(
+                features=self.ngf, kernel_size=(7, 7), padding="valid",
+                use_bias=use_bias, name="stem",
+            )(x, params_only=True)
+            hp = stem_packed(x, w_s.astype(dt), b_s.astype(dt))
+            hp = instance_norm_act_packed(hp, self.ngf)
+            w_d, b_d = ConvNd(
+                features=self.ngf * 2, kernel_size=(3, 3), strides=2,
+                padding=1, use_bias=use_bias, name="down_0",
+            )(jnp.zeros((1, 1, 1, self.ngf), dt), params_only=True)
+            h = down0_from_packed(hp, w_d.astype(dt), b_d.astype(dt))
+            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            h = ConvNd(
+                features=self.ngf * 4, kernel_size=(3, 3), strides=2,
+                padding=1, use_bias=use_bias, name="down_1",
+            )(h)
+            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            for i in range(self.n_blocks):
+                h = ResnetBlock(
+                    dim=self.ngf * 4, ndims=nd, padding_type=pt,
+                    norm=self.norm, use_dropout=self.use_dropout,
+                    use_bias=use_bias, activation=self.activation,
+                    name=f"block_{i}",
+                )(h, train=train)
+            if self.add_noise == "param":
+                h = ParameterizedNoiseBlock()(h)
+            elif self.add_noise:
+                h = NoiseBlock()(h)
+            h = ConvTransposeNd(
+                features=self.ngf * 2, kernel_size=(3, 3), strides=2,
+                padding=1, output_padding=1, use_bias=use_bias, name="up_0",
+            )(h)
+            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            w_u, b_u = ConvTransposeNd(
+                features=self.ngf, kernel_size=(3, 3), strides=2,
+                padding=1, output_padding=1, use_bias=use_bias, name="up_1",
+            )(jnp.zeros((1, 1, 1, h.shape[-1]), dt), params_only=True)
+            hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
+            hp = instance_norm_act_packed(hp, self.ngf)
+            w_h, b_h = ConvNd(
+                features=output_nc, kernel_size=(7, 7), padding="valid",
+                name="head",
+            )(jnp.zeros((1, 1, 1, self.ngf), dt), params_only=True)
+            if head_fold is not None:
+                # fold the caller's 1x1 conv (systems' generator assembly,
+                # base.py _WithHead) into the 7x7 head: no norm/activation
+                # sits between them, so conv1x1(conv7(x, W)) ==
+                # conv7(x, W @ V) exactly — and the folded head is narrow
+                # (co=1), unlocking the f=8 output packing
+                V, b1 = head_fold
+                Vf = V.reshape(V.shape[-2:]).astype(jnp.float32)
+                w_h = jnp.einsum(
+                    "yxim,mo->yxio", w_h.astype(jnp.float32), Vf)
+                b_h = b_h.astype(jnp.float32) @ Vf
+                if b1 is not None:
+                    b_h = b_h + b1.astype(jnp.float32)
+            return head_from_packed(hp, w_h.astype(dt), b_h.astype(dt))
+
         stem_pad = "valid"
         updown_p = 1
         if pt in ("reflect", "same"):
@@ -237,6 +335,15 @@ class ResNet(nn.Module):
         h = ConvNd(
             features=output_nc, kernel_size=(7,) * nd, padding=head_pad, name="head"
         )(h)
+        if head_fold is not None:
+            # defensive completeness: a caller that requested the fold but
+            # landed on the standard route still gets the 1x1 applied here
+            from .layers import conv_nd
+
+            V, b1 = head_fold
+            h = conv_nd(h, V.astype(h.dtype))
+            if b1 is not None:
+                h = h + b1.astype(h.dtype)
         return h
 
 

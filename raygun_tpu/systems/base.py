@@ -290,13 +290,26 @@ class BaseSystem:
 
             @nn.compact
             def __call__(self, x, train: bool = True):
-                y = self.core(x, train=train)
-                y = ConvNd(
+                head = ConvNd(
                     features=self.output_nc,
                     kernel_size=(1,) * self.ndims,
                     padding="valid" if self.padding == "valid" else "same",
                     name="head",
-                )(y)
+                )
+                if (
+                    isinstance(self.core, ResNet)
+                    and self.core.uses_packed_shell(x)
+                ):
+                    # fold this 1x1 into the core's packed 7x7 head (they
+                    # compose linearly — no norm between; nn/resnet.py)
+                    cin = self.core.output_nc or self.core.ngf
+                    V, b1 = head(
+                        jnp.zeros((1,) * (self.ndims + 1) + (cin,), x.dtype),
+                        params_only=True,
+                    )
+                    y = self.core(x, train=train, head_fold=(V, b1))
+                else:
+                    y = head(self.core(x, train=train))
                 if self.final_activation is not None:
                     y = get_activation(self.final_activation)(y)
                 return y
