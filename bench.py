@@ -233,15 +233,23 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     # step; production training pipelines steps back-to-back anyway
     N_STEPS = 8
 
-    @jax.jit
-    def run(params, opt, key):
-        def body(carry, k):
-            p, o = carry
-            p, o, loss = step(p, o, k)
-            return (p, o), loss
-        (p, o), losses = jax.lax.scan(
-            body, (params, opt), jax.random.split(key, N_STEPS))
-        return jnp.sum(losses)
+    # NB: a fresh jax.jit wrapper per compile — jit caches the TRACE by
+    # avals, so lowering the same wrapped fn twice returns the FIRST trace
+    # even if env-var-gated routing changed between calls (verified: an
+    # env flag read at trace time is frozen into the cached trace). The
+    # round-3 regression where bench reported the disabled-route timing
+    # came from exactly this.
+    def make_run():
+        @jax.jit
+        def run(params, opt, key):
+            def body(carry, k):
+                p, o = carry
+                p, o, loss = step(p, o, k)
+                return (p, o), loss
+            (p, o), losses = jax.lax.scan(
+                body, (params, opt), jax.random.split(key, N_STEPS))
+            return jnp.sum(losses)
+        return run
 
     def step(params, opt, key):
         a = jax.random.uniform(key, x.shape, jnp.bfloat16) * 2 - 1
@@ -266,7 +274,7 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     _os.environ["RAYGUN_DISABLE_PALLAS_RESBLOCK"] = "1"
     _os.environ["RAYGUN_DISABLE_PACKED_SHELL"] = "1"
     try:
-        ref = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
+        ref = make_run().lower(params, opt, jax.random.PRNGKey(2)).compile()
         cost = ref.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
@@ -274,7 +282,7 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     finally:
         _os.environ.pop("RAYGUN_DISABLE_PALLAS_RESBLOCK", None)
         _os.environ.pop("RAYGUN_DISABLE_PACKED_SHELL", None)
-    compiled = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
+    compiled = make_run().lower(params, opt, jax.random.PRNGKey(2)).compile()
     _ = float(compiled(params, opt, jax.random.PRNGKey(2)))
     best = 1e9
     for rep in range(2):
