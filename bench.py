@@ -209,9 +209,12 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
            "D": d_tx.init({"D1": params["D1"], "D2": params["D2"]})}
 
     def g_loss(gP, dP, a, b):
+        # mirrors systems/cyclegan._forward_cycle: G2's two applies run as
+        # ONE apply at 2x batch (exact per-sample math, 4 -> 3 applies)
         fake_B = gen.apply({"params": gP["G1"]}, a, train=True)
-        fake_A = gen.apply({"params": gP["G2"]}, b, train=True)
-        cyc_A = gen.apply({"params": gP["G2"]}, fake_B, train=True)
+        both = gen.apply({"params": gP["G2"]},
+                         jnp.concatenate([b, fake_B], axis=0), train=True)
+        fake_A, cyc_A = jnp.split(both, 2, axis=0)
         cyc_B = gen.apply({"params": gP["G1"]}, fake_A, train=True)
         l = (10 * smooth_l1(b, cyc_B) + 10 * smooth_l1(a, cyc_A)
              + gan_loss(disc.apply({"params": jax.lax.stop_gradient(dP["D1"])}, fake_B, train=True), True)
@@ -219,12 +222,15 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
         return l, (fake_B, fake_A)
 
     def d_loss(dP, a, b, fake_A, fake_B):
-        return (
-            gan_loss(disc.apply({"params": dP["D1"]}, b, train=True), True)
-            + gan_loss(disc.apply({"params": dP["D1"]}, jax.lax.stop_gradient(fake_B), train=True), False)
-            + gan_loss(disc.apply({"params": dP["D2"]}, a, train=True), True)
-            + gan_loss(disc.apply({"params": dP["D2"]}, jax.lax.stop_gradient(fake_A), train=True), False)
-        )
+        # mirrors systems/cyclegan._d_losses: real+fake in ONE apply per
+        # discriminator (exact per-sample math, 4 -> 2 applies)
+        n = b.shape[0]
+        p1 = disc.apply({"params": dP["D1"]}, jnp.concatenate(
+            [b, jax.lax.stop_gradient(fake_B)], axis=0), train=True)
+        p2 = disc.apply({"params": dP["D2"]}, jnp.concatenate(
+            [a, jax.lax.stop_gradient(fake_A)], axis=0), train=True)
+        return (gan_loss(p1[:n], True) + gan_loss(p1[n:], False)
+                + gan_loss(p2[:n], True) + gan_loss(p2[n:], False))
 
     import time as _t
 

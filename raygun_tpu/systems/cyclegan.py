@@ -417,14 +417,26 @@ class CycleGAN(BaseSystem):
         including the optional sampling bottleneck applied to fakes BEFORE
         the cycle pass (so the cycle generator sees band-limited input)."""
         fake_B = self._g_apply("G1", g_params["G1"], real_A, train)
-        fake_A = self._g_apply("G2", g_params["G2"], real_B, train)
         if self.scale_factor_B is not None:
             fake_B = self._bottleneck(fake_B, self.scale_factor_B)
+        in_B = jax.lax.stop_gradient(fake_B) if split else fake_B
+        # G2's two applies — fake_A = G2(real_B) and cycled_A = G2(in_B) —
+        # are independent once fake_B exists, so run them as ONE apply at
+        # 2x batch (exact: conv/instance-norm/act are per-sample). The
+        # doubled batch also amortizes the shell's fixed per-apply costs
+        # (4 applies -> 3 per step; measured in docs/PERFORMANCE.md).
+        if in_B.shape == real_B.shape and in_B.dtype == real_B.dtype:
+            both = self._g_apply(
+                "G2", g_params["G2"],
+                jnp.concatenate([real_B, in_B], axis=0), train,
+            )
+            fake_A, cycled_A = jnp.split(both, 2, axis=0)
+        else:  # bottleneck changed the fake's shape: keep separate applies
+            fake_A = self._g_apply("G2", g_params["G2"], real_B, train)
+            cycled_A = self._g_apply("G2", g_params["G2"], in_B, train)
         if self.scale_factor_A is not None:
             fake_A = self._bottleneck(fake_A, self.scale_factor_A)
-        in_B = jax.lax.stop_gradient(fake_B) if split else fake_B
         in_A = jax.lax.stop_gradient(fake_A) if split else fake_A
-        cycled_A = self._g_apply("G2", g_params["G2"], in_B, train)
         cycled_B = self._g_apply("G1", g_params["G1"], in_A, train)
         return fake_B, fake_A, cycled_A, cycled_B
 
@@ -480,14 +492,33 @@ class CycleGAN(BaseSystem):
         metrics = {}
 
         def one(side, dnet, data):
-            loss = 0.0
-            for kind, lam in self.d_lambda_dict[side].items():
-                if lam == 0:
-                    continue
-                pred = self._d_apply(
-                    dnet, d_params[dnet], jax.lax.stop_gradient(data[kind]),
+            active = [(kind, lam)
+                      for kind, lam in self.d_lambda_dict[side].items()
+                      if lam != 0]
+            if not active:
+                return 0.0
+            xs = [jax.lax.stop_gradient(data[kind]) for kind, _ in active]
+            # One apply over all kinds (real/fake/cycled) at k*batch instead
+            # of k applies: exact (conv/instance-norm/act are per-sample),
+            # and amortizes the discriminator's fixed per-apply costs.
+            if len(active) > 1 and all(
+                x.shape == xs[0].shape and x.dtype == xs[0].dtype
+                for x in xs[1:]
+            ):
+                preds = self._d_apply(
+                    dnet, d_params[dnet], jnp.concatenate(xs, axis=0),
                     train=norm_train,
                 )
+                bs = xs[0].shape[0]
+                pred_list = [preds[i * bs:(i + 1) * bs]
+                             for i in range(len(active))]
+            else:
+                pred_list = [
+                    self._d_apply(dnet, d_params[dnet], x, train=norm_train)
+                    for x in xs
+                ]
+            loss = 0.0
+            for (kind, lam), pred in zip(active, pred_list):
                 term = gan_loss(pred, kind == "real", self.gan_mode)
                 metrics[f"Discriminator_{side}/{kind}"] = term
                 loss = loss + lam * term

@@ -177,6 +177,81 @@ def test_link_vs_split_gradient_semantics():
     assert all(float(np.abs(l).sum()) == 0 for l in jax.tree.leaves(g_split))
 
 
+def test_batched_applies_match_unbatched(tiny_config):
+    """_forward_cycle runs G2's two applies as one 2x-batch apply, and
+    _d_losses runs all kinds through one apply per discriminator; both are
+    exact per-sample re-expressions of the reference's separate applies
+    (CycleModel.py:37-89). Values AND gradients must match the unbatched
+    formulation."""
+    cfg_path, config, loss_type = tiny_config
+    system = load_system(cfg_path)
+    system.build_system()
+    params = system.params
+    g_params = {"G1": params["G1"], "G2": params["G2"]}
+    d_params = {"D1": params["D1"], "D2": params["D2"]}
+    batch = jax.jit(system.make_batch)(jax.random.PRNGKey(11))
+    real_A, real_B = batch["real_A"], batch["real_B"]
+    split = system.split
+
+    def unbatched_cycle(gp):
+        fake_B = system._g_apply("G1", gp["G1"], real_A, True)
+        fake_A = system._g_apply("G2", gp["G2"], real_B, True)
+        in_B = jax.lax.stop_gradient(fake_B) if split else fake_B
+        in_A = jax.lax.stop_gradient(fake_A) if split else fake_A
+        cycled_A = system._g_apply("G2", gp["G2"], in_B, True)
+        cycled_B = system._g_apply("G1", gp["G1"], in_A, True)
+        return fake_B, fake_A, cycled_A, cycled_B
+
+    got = jax.jit(
+        lambda gp: system._forward_cycle(gp, real_A, real_B, split)
+    )(g_params)
+    want = jax.jit(unbatched_cycle)(g_params)
+    for g, w, name in zip(got, want, ("fake_B", "fake_A", "cycled_A",
+                                      "cycled_B")):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(w, np.float32),
+            rtol=0, atol=1e-5, err_msg=name)
+
+    def scalar_through(fn):
+        def s(gp):
+            outs = fn(gp)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+        return s
+
+    grad_got = jax.grad(scalar_through(
+        lambda gp: system._forward_cycle(gp, real_A, real_B, split)))(g_params)
+    grad_want = jax.grad(scalar_through(unbatched_cycle))(g_params)
+    for a, b in zip(jax.tree.leaves(grad_got), jax.tree.leaves(grad_want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3e-4)
+
+    # D losses: batched kinds == per-kind applies
+    fake_B, fake_A, cycled_A, cycled_B = got
+    loss_batched, metrics = jax.jit(
+        lambda dp: system._d_losses(dp, real_A, real_B, fake_A, fake_B,
+                                    cycled_A, cycled_B)
+    )(d_params)
+
+    def unbatched_d(dp):
+        total = 0.0
+        for side, dnet, data in (
+            ("B", "D1", {"real": real_B, "fake": fake_B, "cycled": cycled_B}),
+            ("A", "D2", {"real": real_A, "fake": fake_A, "cycled": cycled_A}),
+        ):
+            for kind, lam in system.d_lambda_dict[side].items():
+                if lam == 0:
+                    continue
+                pred = system._d_apply(
+                    dnet, dp[dnet], jax.lax.stop_gradient(data[kind]), True)
+                total = total + lam * gan_loss(pred, kind == "real",
+                                               system.gan_mode)
+        return total
+
+    loss_want = jax.jit(unbatched_d)(d_params)
+    np.testing.assert_allclose(float(loss_batched), float(loss_want),
+                               rtol=0, atol=1e-5)
+
+
 def test_bfloat16_mixed_precision_step(tmp_path):
     """"dtype": "bfloat16" runs net activations in bf16 while params and
     optimizer state stay fp32 and losses reduce finitely (round 3: the GAN
