@@ -40,6 +40,7 @@ routes (the ResnetBlock fused-route pattern, nn/resnet.py:52-80).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -60,6 +61,82 @@ def _conv(xp: Array, w2: Array, strides) -> Array:
         xp, w2, tuple(strides), "VALID",
         dimension_numbers=conv_dimension_numbers_nd(2),
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_coarse_strided(xq: Array, w2: Array, s: int) -> Array:
+    """Valid 2D conv with stride ``s`` on the coarse grid, with a custom
+    VJP. XLA:TPU's autodiff backward of a strided conv runs an
+    lhs-dilated transpose conv for dx and a strided wgrad for dw — for
+    the production packed head (stride 4, 8x8 taps at 3x512^2) that
+    backward measured 11.96 ms against a ~2 ms re-expression
+    (scripts/perf_head_bwd.py). The re-expression is exact index algebra:
+
+      dx: the transpose of a stride-s conv, split by output phase, is a
+          STRIDE-1 conv of the (t-1)-padded cotangent with the
+          phase-regrouped tap-reversed kernel producing all s^2 phases as
+          channel groups — one depth_to_space away from dx.
+      dw: dw2[s*q+py, s*r+px] = sum_ij xqs[i+q, j+r, (py,px,c)] * g[i,j,n]
+          over the s2d-by-s regrouped input: t^2 shifted GEMMs with fp32
+          accumulation (the same summation order per (c, n) as XLA's
+          wgrad; only the tap loop is unrolled).
+
+    Requires s | K and s | spatial extents (callers fall back to the
+    default conv otherwise).
+    """
+    return _conv(xq, w2, (s, s))
+
+
+def _ccs_fwd(xq, w2, s):
+    return _conv(xq, w2, (s, s)), (xq, w2)
+
+
+def _ccs_bwd(s, res, g):
+    xq, w2 = res
+    K, _, C, N = w2.shape
+    t = K // s
+    h, w_ = g.shape[1], g.shape[2]
+    # dx: kd[a', b', n, (py, px, c)] = w2[py + s*(t-1-a'), px + s*(t-1-b'), c, n]
+    kd = jnp.flip(w2.reshape(t, s, t, s, C, N), axis=(0, 2))
+    kd = kd.transpose(0, 2, 5, 1, 3, 4).reshape(t, t, N, s * s * C)
+    gp = jnp.pad(g, [(0, 0), (t - 1, t - 1), (t - 1, t - 1), (0, 0)])
+    dxq = depth_to_space(_conv(gp, kd, (1, 1)), (s, s))
+    # dw
+    xqs = space_to_depth(xq, (s, s))  # (B, H/s, W/s, s^2*C), ch=(py,px,c)
+    rows = []
+    for q in range(t):
+        cols = []
+        for r in range(t):
+            piece = jnp.einsum(
+                "bijM,bijn->Mn", xqs[:, q:q + h, r:r + w_, :], g,
+                preferred_element_type=jnp.float32,
+            )
+            cols.append(piece.reshape(s, s, C, N))
+        rows.append(jnp.stack(cols, 0))  # (t_r, s, s, C, N)
+    dw2 = jnp.stack(rows, 0)             # (t_q, t_r, py, px, C, N)
+    dw2 = dw2.transpose(0, 2, 1, 3, 4, 5).reshape(K, K, C, N)
+    return dxq, dw2.astype(w2.dtype)
+
+
+_conv_coarse_strided.defvjp(_ccs_fwd, _ccs_bwd)
+
+
+def _conv_maybe_custom(xq: Array, w2: Array, cstr) -> Array:
+    """Route strided coarse convs through the custom-VJP re-expression
+    when the index algebra applies (s | K, s | extents); default conv
+    otherwise. Forward is IDENTICAL either way."""
+    s = int(cstr[0])
+    K = w2.shape[0]
+    if (
+        s > 1
+        and int(cstr[1]) == s
+        and w2.shape[1] == K
+        and K % s == 0
+        and xq.shape[1] % s == 0
+        and xq.shape[2] % s == 0
+    ):
+        return _conv_coarse_strided(xq, w2, s)
+    return _conv(xq, w2, cstr)
 
 
 def packed_shell_ok(x: Array, ngf: int) -> bool:
@@ -224,7 +301,7 @@ def head_from_packed(xp: Array, w: Array, b: Array) -> Array:
     xq = packed_reflect_pad3(xp)
     # fine origin -4, head window starts at fine -3 -> start-in-cell o = 1
     w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (f, f), (1, 1), (1, 1))
-    y = _conv(xq, w2.astype(xp.dtype), cstr)
+    y = _conv_maybe_custom(xq, w2.astype(xp.dtype), cstr)
     if b is not None:
         y = y + jnp.tile(b, f * f).astype(y.dtype)
     return depth_to_space(y, (f, f))

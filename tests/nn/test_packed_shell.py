@@ -81,6 +81,57 @@ class TestPackedConvs:
         got = depth_to_space(up1_to_packed(x, w, b), (2, 2))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("B,H,C,N,K,s", [
+        (2, 36, 8, 12, 8, 4),   # the production head's shape class (s=4)
+        (1, 20, 4, 6, 4, 2),
+        (2, 24, 16, 8, 8, 2),
+    ])
+    def test_conv_coarse_strided_custom_vjp(self, B, H, C, N, K, s):
+        """_conv_coarse_strided's custom VJP (phase-regrouped dx conv +
+        tap-shift einsum dw) must match XLA autodiff exactly — it is a
+        re-indexing of the same sums."""
+        from raygun_tpu.nn.packed_shell import _conv, _conv_coarse_strided
+
+        xq = rand(30, (B, H, H, C))
+        w2 = rand(31, (K, K, C, N)) * 0.1
+
+        def loss(conv, xq, w2):
+            return jnp.sum(jnp.sin(conv(xq, w2)))
+
+        v0, g0 = jax.value_and_grad(
+            lambda a, b: loss(lambda x, w: _conv(x, w, (s, s)), a, b),
+            argnums=(0, 1))(xq, w2)
+        v1, g1 = jax.value_and_grad(
+            lambda a, b: loss(lambda x, w: _conv_coarse_strided(x, w, s),
+                              a, b), argnums=(0, 1))(xq, w2)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+        np.testing.assert_allclose(g0[0], g1[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(g0[1], g1[1], rtol=1e-5, atol=1e-5)
+
+    def test_head_from_packed_grads_match_default_conv(self):
+        """head_from_packed routes through the custom-VJP strided conv on
+        the f=8 path; gradients must match the default-autodiff routing
+        (tolerance covers fp32 reassociation in the big dw reduction)."""
+        import raygun_tpu.nn.packed_shell as ps
+
+        xp = rand(32, (2, 32, 32, 4 * 16))
+        w = rand(33, (7, 7, 16, 1)) * 0.1
+        b = rand(34, (1,)) * 0.1
+
+        def head_loss(xp, w):
+            return jnp.sum(jnp.tanh(ps.head_from_packed(xp, w, b)))
+
+        v, g = jax.value_and_grad(head_loss, argnums=(0, 1))(xp, w)
+        orig = ps._conv_maybe_custom
+        ps._conv_maybe_custom = lambda xq, w2, cstr: ps._conv(xq, w2, cstr)
+        try:
+            v2, g2 = jax.value_and_grad(head_loss, argnums=(0, 1))(xp, w)
+        finally:
+            ps._conv_maybe_custom = orig
+        np.testing.assert_allclose(v, v2, rtol=1e-6)
+        np.testing.assert_allclose(g[0], g2[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(g[1], g2[1], rtol=1e-4, atol=1e-4)
+
     def test_pack_conv_kernel_io_generalizes_s2d(self):
         # f_in == f_out, stride 1, start 0 must reproduce the fine conv
         xf = rand(14, (1, 12, 12, 2))
