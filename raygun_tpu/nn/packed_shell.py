@@ -101,20 +101,28 @@ def _ccs_bwd(s, res, g):
     kd = kd.transpose(0, 2, 5, 1, 3, 4).reshape(t, t, N, s * s * C)
     gp = jnp.pad(g, [(0, 0), (t - 1, t - 1), (t - 1, t - 1), (0, 0)])
     dxq = depth_to_space(_conv(gp, kd, (1, 1)), (s, s))
-    # dw
-    xqs = space_to_depth(xq, (s, s))  # (B, H/s, W/s, s^2*C), ch=(py,px,c)
-    rows = []
-    for q in range(t):
-        cols = []
-        for r in range(t):
-            piece = jnp.einsum(
-                "bijM,bijn->Mn", xqs[:, q:q + h, r:r + w_, :], g,
-                preferred_element_type=jnp.float32,
-            )
-            cols.append(piece.reshape(s, s, C, N))
-        rows.append(jnp.stack(cols, 0))  # (t_r, s, s, C, N)
-    dw2 = jnp.stack(rows, 0)             # (t_q, t_r, py, px, C, N)
-    dw2 = dw2.transpose(0, 2, 1, 3, 4, 5).reshape(K, K, C, N)
+    # dw: dw2[s*q+py, s*r+px, c, n] = sum_ij xqs[i+q, j+r, (py,px,c)] g[i,j,n]
+    # — t^2 shifted GEMMs. Shift the TINY cotangent (zero-pad g to the full
+    # xqs extent per (q, r)) and stack the shifts on the N axis so ONE
+    # full-lane GEMM (N = t^2*n) reads the 100-MB xqs exactly once; the
+    # round-3 four-slice version re-read (and re-copied, 65->64 unaligned)
+    # xqs per tap and ran N=64 half-lane GEMMs (3.74 -> ~1 ms measured,
+    # scripts/perf_head_bwd.py).
+    xqs = space_to_depth(xq, (s, s))  # (B, Hq, Wq, s^2*C), ch=(py,px,c)
+    Hq, Wq = xqs.shape[1], xqs.shape[2]
+    g4 = jnp.concatenate(
+        [
+            jnp.pad(g, [(0, 0), (q, Hq - h - q), (r, Wq - w_ - r), (0, 0)])
+            for q in range(t)
+            for r in range(t)
+        ],
+        axis=-1,
+    )  # (B, Hq, Wq, t^2*N), ch = (q, r, n)
+    dw_all = jnp.einsum(
+        "bijM,bijN->MN", xqs, g4, preferred_element_type=jnp.float32
+    )  # (s^2*C, t^2*N)
+    dw2 = dw_all.reshape(s, s, C, t, t, N)
+    dw2 = dw2.transpose(3, 0, 4, 1, 2, 5).reshape(K, K, C, N)
     return dxq, dw2.astype(w2.dtype)
 
 
