@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Union
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import Array, ConvNd, get_activation, make_norm
@@ -50,6 +51,15 @@ class NLayerDiscriminator(nn.Module):
             r = s[l] * r + (k[l] - s[l])
         return r
 
+    def uses_packed(self, x: Array) -> bool:
+        """True iff __call__(x) will take the packed pair-tensor route
+        (static at trace time): 2D, ds_kw=2 downsampling (the pair-window
+        structure the 1x1-GEMM re-expression needs), extents % 4."""
+        from .packed_shell import packed_disc_ok
+
+        ds_kw = self.downsampling_kw or self.kw
+        return self.ndims == 2 and ds_kw == 2 and packed_disc_ok(x, self.ngf)
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         nd = self.ndims
@@ -58,6 +68,73 @@ class NLayerDiscriminator(nn.Module):
         use_bias = self.norm is None or norm_name.startswith("instance") or norm_name == "none"
         lrelu = get_activation("leakyrelu")
         ds_kw = self.downsampling_kw or self.kw
+
+        # packed route (TPU): the k2-s2-p1 downsampling stack runs as 1x1
+        # GEMMs over space-to-depth'd pair tensors and conv_out as a
+        # tap-sum GEMM — avoids the C=64 fine-tensor relayout pathology
+        # and the C_out=1 idle-lane conv (see nn/packed_shell.py, measured
+        # in scripts/perf_d_layers.py). Exact re-expression; params
+        # through the SAME modules (checkpoints swap freely). Norms and
+        # activations (except conv_0's lrelu, elementwise either way) see
+        # the exact fine tensors, so any norm mode composes unchanged.
+        if self.uses_packed(x):
+            from .packed_shell import (
+                disc_down_from_packed,
+                disc_head_tapsum,
+                disc_mask_pad_phase,
+                disc_stem_packed,
+                repack_pairs,
+            )
+            from .layers import depth_to_space
+
+            dt = x.dtype
+            w0, b0 = ConvNd(
+                features=self.ngf, kernel_size=(2,) * nd, strides=2,
+                padding=1, name="conv_0",
+            )(x, params_only=True)
+            hp = disc_stem_packed(
+                x, w0.astype(dt), None if b0 is None else b0.astype(dt))
+            hp = disc_mask_pad_phase(lrelu(hp), self.ngf)
+
+            h = hp
+            nf_mult = 1
+            for n in range(1, self.n_layers):
+                nf_prev, nf_mult = nf_mult, min(2**n, 8)
+                wn, bn = ConvNd(
+                    features=self.ngf * nf_mult, kernel_size=(2,) * nd,
+                    strides=2, padding=1, use_bias=use_bias,
+                    name=f"conv_{n}",
+                )(jnp.zeros((1, 1, 1, self.ngf * nf_prev), dt),
+                  params_only=True)
+                h = disc_down_from_packed(
+                    h, wn.astype(dt), None if bn is None else bn.astype(dt))
+                if norm_ctor is not None:
+                    h = _apply_norm_act(norm_ctor, h, train, "leakyrelu")
+                else:
+                    h = lrelu(h)
+                if n < self.n_layers - 1:
+                    h = repack_pairs(h)
+            if self.n_layers == 1:
+                # no stride-2 follower consumed the pairs: unpack, drop pad
+                h = depth_to_space(h, (2, 2))[:, 1:, 1:, :]
+
+            nf_mult = min(2**self.n_layers, 8)
+            h = ConvNd(
+                features=self.ngf * nf_mult, kernel_size=(self.kw,) * nd,
+                strides=1, padding=1, use_bias=use_bias,
+                name=f"conv_{self.n_layers}",
+            )(h)
+            if norm_ctor is not None:
+                h = _apply_norm_act(norm_ctor, h, train, "leakyrelu")
+            else:
+                h = lrelu(h)
+            wo, bo = ConvNd(
+                features=1, kernel_size=(self.kw,) * nd, strides=1,
+                padding=1, name="conv_out",
+            )(jnp.zeros((1, 1, 1, self.ngf * nf_mult), dt),
+              params_only=True)
+            return disc_head_tapsum(
+                h, wo.astype(dt), None if bo is None else bo.astype(dt))
 
         h = ConvNd(
             features=self.ngf, kernel_size=(ds_kw,) * nd, strides=2, padding=1,

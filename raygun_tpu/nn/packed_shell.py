@@ -313,3 +313,136 @@ def head_from_packed(xp: Array, w: Array, b: Array) -> Array:
     if b is not None:
         y = y + jnp.tile(b, f * f).astype(y.dtype)
     return depth_to_space(y, (f, f))
+
+
+# ---------------------------------------------------------------------------
+# Packed PatchGAN discriminator (reference NLayerDiscriminator.py:30-77)
+# ---------------------------------------------------------------------------
+#
+# The production discriminator (ds_kw=2, n_layers=3 at 3x512^2) spends most
+# of its time in conv_0/conv_1: the fine C=64 tensor at 257^2 triggers the
+# same batch-in-sublanes conv layout + relayout copies as the generator
+# shell, and conv_out's C_out=1 idles 127/128 MXU lanes (measured,
+# scripts/perf_d_layers.py). The reference's k=2 stride-2 padding-1 conv
+# has a special structure: output position o reads EXACTLY the input pair
+# (2o-1, 2o) — disjoint windows — so the whole downsampling stack
+# re-expresses exactly as 1x1 GEMMs over space-to-depth'd pair tensors:
+#
+#   conv_0  x (pad 3,1) s2d by 4 -> one 1x1 GEMM producing the PACKED
+#           pair tensor (cells = zero-padded (2i-1, 2i) of the fine
+#           activation); the virtual position -1 entries are zeroed
+#           post-activation (disc_mask_pad_phase) — they are conv_1's
+#           zero padding, which the reference applies after the lrelu.
+#   conv_n  1x1 GEMM (K = 4*C_in, full lanes) from the packed pairs to
+#           the FINE output grid (norms/activations see the exact fine
+#           tensor); repack_pairs (pad(1,0) + s2d) feeds the next layer.
+#   conv_out (k x k stride-1 pad-1, co=1): one GEMM with N = k^2*co
+#           per-tap partial products + k^2 shifted adds of the tiny
+#           product map instead of a 127/128-idle conv.
+#
+# All exact re-expressions; params come from the same ConvNd modules
+# (tests/nn/test_packed_disc.py asserts value+gradient parity and
+# identical param trees).
+
+
+def packed_disc_ok(x: Array, ngf: int) -> bool:
+    """Gate for the packed discriminator route: 2D channels-last input
+    with extents divisible by 4, on TPU (or forced), large enough that
+    layout costs dominate. RAYGUN_FORCE_PACKED_DISC=1 forces it on CPU
+    (parity tests); RAYGUN_DISABLE_PACKED_DISC=1 wins over everything."""
+    import os
+
+    if os.environ.get("RAYGUN_DISABLE_PACKED_DISC"):
+        return False
+    if x.ndim != 4:
+        return False
+    H, W = x.shape[1], x.shape[2]
+    if H % 4 or W % 4 or H < 16 or W < 16:
+        return False
+    if os.environ.get("RAYGUN_FORCE_PACKED_DISC"):
+        return True
+    from .pallas.instance_norm import tpu_available
+
+    if not tpu_available():
+        return False
+    return x.shape[0] * H * W * ngf >= (1 << 21)
+
+
+def disc_stem_packed(x: Array, w: Array, b) -> Array:
+    """k=2 stride-2 padding-1 conv_0, producing the PACKED pair tensor
+    directly: cell i holds fine outputs (2i-1, 2i) per axis (channel order
+    (uy, ux, co)); position -1 entries are junk until
+    :func:`disc_mask_pad_phase` zeroes them (post-activation).
+    x: (B, H, W, ci) with H, W % 4 == 0 -> (B, H/4+1, W/4+1, 4*co)."""
+    import numpy as np
+
+    ci, co = w.shape[-2], w.shape[-1]
+    xp = jnp.pad(x, [(0, 0), (3, 1), (3, 1), (0, 0)])
+    x4 = space_to_depth(xp, (4, 4))  # channel = (py, px, ci)
+    # fine output 2i-1+u reads x rows 2*(2i-1+u) - 1 + k = 4i + (2u+k) - 3:
+    # phase py = 2u + k within the granularity-4 cell starting at 4i-3.
+    M = np.zeros((4, 2, 2), np.float32)
+    for u in range(2):
+        for k in range(2):
+            M[2 * u + k, u, k] = 1.0
+    Mj = jnp.asarray(M)
+    Wp = jnp.einsum("puk,qvl,klio->pqiuvo", Mj, Mj, w.astype(jnp.float32))
+    Wp = Wp.reshape(1, 1, 16 * ci, 4 * co).astype(x.dtype)
+    y = _conv(x4, Wp, (1, 1))
+    if b is not None:
+        y = y + jnp.tile(b, 4).astype(y.dtype)
+    return y
+
+
+def disc_mask_pad_phase(hp: Array, co: int) -> Array:
+    """Zero the virtual position -1 entries of the packed pair tensor
+    (cell 0 / phase 0 per axis): they are the NEXT conv's zero padding,
+    applied by the reference AFTER the activation."""
+    C4 = hp.shape[-1]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, C4), 3)
+    uy = ch // (2 * co)
+    ux = (ch // co) % 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, hp.shape[1], 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hp.shape[2], 1), 2)
+    junk = ((row == 0) & (uy == 0)) | ((col == 0) & (ux == 0))
+    return jnp.where(junk, jnp.zeros((), hp.dtype), hp)
+
+
+def disc_down_from_packed(hp: Array, w: Array, b) -> Array:
+    """k=2 stride-2 padding-1 conv read from the packed pair tensor: one
+    1x1 GEMM (K = 4*ci full lanes) straight to the FINE output grid —
+    output position o reads exactly cell o.
+    hp: (B, m+1, m+1, 4*ci) -> (B, m+1, m+1, co)."""
+    ci, co = w.shape[-2], w.shape[-1]
+    W2 = w.reshape(1, 1, 4 * ci, co).astype(hp.dtype)  # (ky,kx,ci) = s2d order
+    y = _conv(hp, W2, (1, 1))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def repack_pairs(h: Array) -> Array:
+    """Fine (B, 2m+1, 2m+1, C) -> packed zero-padded pairs (2i-1, 2i):
+    the input layout every stride-2 k2p1 layer consumes."""
+    return space_to_depth(jnp.pad(h, [(0, 0), (1, 0), (1, 0), (0, 0)]), (2, 2))
+
+
+def disc_head_tapsum(h: Array, w: Array, b) -> Array:
+    """k x k stride-1 padding-1 conv to co outputs (conv_out, co=1) as one
+    GEMM with N = k^2*co per-tap partial products + k^2 shifted adds of
+    the (tiny) product map — the direct conv idles (128-co)/128 MXU lanes.
+    h: (B, H, W, ci) -> (B, H+3-k, W+3-k, co)."""
+    k1, k2, ci, co = w.shape
+    hp = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    Wt = w.transpose(2, 0, 1, 3).reshape(1, 1, ci, k1 * k2 * co)
+    Y = _conv(hp, Wt.astype(h.dtype), (1, 1))
+    Ho, Wo = h.shape[1] + 3 - k1, h.shape[2] + 3 - k2
+    out = None
+    for ty in range(k1):
+        for tx in range(k2):
+            t = ty * k2 + tx
+            sl = Y[:, ty:ty + Ho, tx:tx + Wo, t * co:(t + 1) * co]
+            out = sl if out is None else out + sl
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
