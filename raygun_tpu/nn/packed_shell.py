@@ -202,12 +202,12 @@ def down0_from_packed(xp: Array, w: Array, b: Array) -> Array:
     return y
 
 
-def up1_to_packed(x: Array, w: Array, b: Array) -> Array:
-    """3x3 stride-2 pad-1 outpad-1 transposed conv (reference
-    ``ResNet.py:105-114``) via the subpixel decomposition, KEEPING the
-    per-phase channel layout instead of depth_to_space'ing it — the
-    subpixel output IS the s2d-packed tensor (phase-major order matches).
-    x: (B, Hc, Wc, ci) -> (B, Hc, Wc, 4*co) representing (2Hc, 2Wc, co)."""
+def up1_packed_kernel(w: Array) -> Array:
+    """Subpixel re-expression of the 3x3 stride-2 pad-1 outpad-1
+    transposed-conv kernel: (k, k, ci, co) -> (2, 2, ci, 4*co) taps whose
+    stride-1 valid conv over the (0,1)-zero-padded input produces the
+    s2d-packed output directly (phase-major order). Pure linear map —
+    autodiff flows gradients straight back to the module kernel."""
     from .layers import _pack_conv_transpose_matrix
     import itertools as it
     import numpy as np
@@ -224,7 +224,16 @@ def up1_to_packed(x: Array, w: Array, b: Array) -> Array:
                     Mfull[t[0] * k + t[1], u[0] * 2 + u[1], r[0] * 2 + r[1]] = v
     wt = w.reshape((k * k, ci, co))
     w2 = jnp.einsum("tur,tcd->ucrd", jnp.asarray(Mfull, w.dtype), wt)
-    w2 = w2.reshape((2, 2, ci, 4 * co)).astype(x.dtype)
+    return w2.reshape((2, 2, ci, 4 * co))
+
+
+def up1_to_packed(x: Array, w: Array, b: Array) -> Array:
+    """3x3 stride-2 pad-1 outpad-1 transposed conv (reference
+    ``ResNet.py:105-114``) via the subpixel decomposition, KEEPING the
+    per-phase channel layout instead of depth_to_space'ing it — the
+    subpixel output IS the s2d-packed tensor (phase-major order matches).
+    x: (B, Hc, Wc, ci) -> (B, Hc, Wc, 4*co) representing (2Hc, 2Wc, co)."""
+    w2 = up1_packed_kernel(w).astype(x.dtype)
     xq = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
     y = _conv(xq, w2, (1, 1))
     if b is not None:

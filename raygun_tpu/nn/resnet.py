@@ -187,12 +187,15 @@ class ResNet(nn.Module):
         # at 3x512^2, scripts/perf_shell_ops.py). Exact re-expression;
         # params through the SAME modules (checkpoints swap freely).
         if self.uses_packed_shell(x):
+            from .layers import pack_conv_kernel_io
             from .packed_shell import (
                 down0_from_packed,
                 head_from_packed,
                 stem_packed,
+                up1_packed_kernel,
                 up1_to_packed,
             )
+            from .pallas.fconv import fconv2_ok, fused_pro_conv2
             from .pallas.instance_norm import instance_norm_act_packed
 
             dt = x.dtype
@@ -200,13 +203,24 @@ class ResNet(nn.Module):
                 features=self.ngf, kernel_size=(7, 7), padding="valid",
                 use_bias=use_bias, name="stem",
             )(x, params_only=True)
-            hp = stem_packed(x, w_s.astype(dt), b_s.astype(dt))
-            hp = instance_norm_act_packed(hp, self.ngf)
+            y0 = stem_packed(x, w_s.astype(dt), b_s.astype(dt))
             w_d, b_d = ConvNd(
                 features=self.ngf * 2, kernel_size=(3, 3), strides=2,
                 padding=1, use_bias=use_bias, name="down_0",
             )(jnp.zeros((1, 1, 1, self.ngf), dt), params_only=True)
-            h = down0_from_packed(hp, w_d.astype(dt), b_d.astype(dt))
+            # fused stage (TPU): the packed stem output's IN+relu, the
+            # zero pad, and the 2x2-tap down_0 conv run in ONE Pallas
+            # kernel with a traffic-floor custom VJP (nn/pallas/fconv.py)
+            # — the pre-norm boundary tensor hits HBM once instead of ~4
+            # times. Exact re-expression; same params either way.
+            w2_d0 = pack_conv_kernel_io(
+                w_d.astype(dt), (2, 2), (1, 1), (2, 2), (1, 1))[0]
+            w2s_d0 = w2_d0.reshape(2, -1, w2_d0.shape[-1])
+            if b_d is not None and fconv2_ok(y0, w2s_d0):
+                h = fused_pro_conv2(y0, w2s_d0, b_d.astype(dt), 4, "lo")
+            else:
+                hp = instance_norm_act_packed(y0, self.ngf)
+                h = down0_from_packed(hp, w_d.astype(dt), b_d.astype(dt))
             h = _apply_norm_act(norm_ctor, h, train, self.activation)
             h = ConvNd(
                 features=self.ngf * 4, kernel_size=(3, 3), strides=2,
@@ -224,16 +238,25 @@ class ResNet(nn.Module):
                 h = ParameterizedNoiseBlock()(h)
             elif self.add_noise:
                 h = NoiseBlock()(h)
-            h = ConvTransposeNd(
+            y3 = ConvTransposeNd(
                 features=self.ngf * 2, kernel_size=(3, 3), strides=2,
                 padding=1, output_padding=1, use_bias=use_bias, name="up_0",
             )(h)
-            h = _apply_norm_act(norm_ctor, h, train, self.activation)
             w_u, b_u = ConvTransposeNd(
                 features=self.ngf, kernel_size=(3, 3), strides=2,
                 padding=1, output_padding=1, use_bias=use_bias, name="up_1",
-            )(jnp.zeros((1, 1, 1, h.shape[-1]), dt), params_only=True)
-            hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
+            )(jnp.zeros((1, 1, 1, y3.shape[-1]), dt), params_only=True)
+            # fused stage: up_0's IN+relu + the subpixel up_1 conv (a
+            # 2x2-tap pad-'hi' stride-1 conv straight to the packed
+            # layout) in one kernel — see the down_0 note above.
+            w2_u1 = up1_packed_kernel(w_u.astype(dt))
+            w2s_u1 = w2_u1.reshape(2, -1, w2_u1.shape[-1])
+            if b_u is not None and fconv2_ok(y3, w2s_u1):
+                b2_u1 = jnp.tile(b_u, 4).astype(dt)
+                hp = fused_pro_conv2(y3, w2s_u1, b2_u1, 1, "hi")
+            else:
+                h = _apply_norm_act(norm_ctor, y3, train, self.activation)
+                hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
             hp = instance_norm_act_packed(hp, self.ngf)
             w_h, b_h = ConvNd(
                 features=output_nc, kernel_size=(7, 7), padding="valid",
