@@ -40,17 +40,26 @@ Array = jax.Array
 
 # row-tile length for the (B, S, C) view. 2048 rows x 256ch x 2B = 1 MB
 # blocks — big enough to saturate HBM streams, small enough to double-
-# buffer in 16 MB VMEM at every channel count the generators use.
+# buffer in 16 MB VMEM. Beyond C=256 the kernels' fp32 temporaries
+# (~4 buffers x rows x C x 4B in the bwd-apply kernel) overflow the
+# 16 MB scoped-VMEM stack, so the row count scales down with C
+# (C=512 at 2048 rows measured 17.98M scoped alloc -> compile OOM).
 _TILE_S = 2048
 
 
-def _grid_tiles(S: int) -> int:
-    return -(-S // _TILE_S)
+def _tile_rows(C: int) -> int:
+    if C <= 256:
+        return _TILE_S
+    return max(256, _TILE_S * 256 // C)
 
 
-def _row_mask(t, S: int, shape) -> Array:
+def _grid_tiles(S: int, ts: int = _TILE_S) -> int:
+    return -(-S // ts)
+
+
+def _row_mask(t, S: int, shape, ts: int = _TILE_S) -> Array:
     """Valid-row mask for the (possibly partial) tail tile."""
-    rows_left = S - t * _TILE_S
+    rows_left = S - t * ts
     return jax.lax.broadcasted_iota(jnp.int32, shape, 0) < rows_left
 
 
@@ -58,10 +67,10 @@ def _row_mask(t, S: int, shape) -> Array:
 # forward
 # ---------------------------------------------------------------------------
 
-def _stats_kernel(S, x_ref, out_ref):
+def _stats_kernel(S, ts, x_ref, out_ref):
     t = pl.program_id(1)
-    xb = x_ref[0].astype(jnp.float32)  # (TILE_S, C)
-    xb = jnp.where(_row_mask(t, S, xb.shape), xb, 0.0)
+    xb = x_ref[0].astype(jnp.float32)  # (ts, C)
+    xb = jnp.where(_row_mask(t, S, xb.shape, ts), xb, 0.0)
     s = jnp.sum(xb, axis=0)
     s2 = jnp.sum(xb * xb, axis=0)
 
@@ -114,11 +123,12 @@ def _moments(x3: Array, eps: float, group: int = None) -> Tuple[Array, Array]:
         C = C // f
         xf = x3
     Sf, Cf = xf.shape[1], xf.shape[2]
+    ts = _tile_rows(Cf)
     sums = pl.pallas_call(
-        functools.partial(_stats_kernel, Sf),
-        grid=(B, _grid_tiles(Sf)),
+        functools.partial(_stats_kernel, Sf, ts),
+        grid=(B, _grid_tiles(Sf, ts)),
         in_specs=[
-            pl.BlockSpec((1, _TILE_S, Cf), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, ts, Cf), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
@@ -134,8 +144,8 @@ def _moments(x3: Array, eps: float, group: int = None) -> Tuple[Array, Array]:
     return mean, rstd
 
 
-def _tile_spec(C):
-    return pl.BlockSpec((1, _TILE_S, C), lambda b, t: (b, t, 0),
+def _tile_spec(C, ts: int = _TILE_S):
+    return pl.BlockSpec((1, ts, C), lambda b, t: (b, t, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -158,14 +168,15 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
     if f > 1:
         mean = jnp.tile(mean, (1, f))
         rstd = jnp.tile(rstd, (1, f))
+    ts = _tile_rows(Cf)
     if residual is not None:
         resf = residual if group is not None else _fold(residual, f)
         y = pl.pallas_call(
             _normalize_add_kernel,
-            grid=(B, _grid_tiles(Sf)),
-            in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
-                      _chan_spec(Cf)],
-            out_specs=_tile_spec(Cf),
+            grid=(B, _grid_tiles(Sf, ts)),
+            in_specs=[_tile_spec(Cf, ts), _tile_spec(Cf, ts),
+                      _chan_spec(Cf), _chan_spec(Cf)],
+            out_specs=_tile_spec(Cf, ts),
             out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
         )(xf, resf, mean[:, None, :], rstd[:, None, :])
         return y if group is not None else _unfold(y, f, C)
@@ -173,9 +184,9 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
               else functools.partial(_normalize_act_kernel, slope))
     y = pl.pallas_call(
         kernel,
-        grid=(B, _grid_tiles(Sf)),
-        in_specs=[_tile_spec(Cf), _chan_spec(Cf), _chan_spec(Cf)],
-        out_specs=_tile_spec(Cf),
+        grid=(B, _grid_tiles(Sf, ts)),
+        in_specs=[_tile_spec(Cf, ts), _chan_spec(Cf), _chan_spec(Cf)],
+        out_specs=_tile_spec(Cf, ts),
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
     )(xf, mean[:, None, :], rstd[:, None, :])
     return y if group is not None else _unfold(y, f, C)
@@ -185,11 +196,12 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_stats_kernel(S, slope, g_ref, x_ref, mean_ref, rstd_ref, out_ref):
+def _bwd_stats_kernel(S, ts, slope, g_ref, x_ref, mean_ref, rstd_ref,
+                      out_ref):
     t = pl.program_id(1)
     gb = g_ref[0].astype(jnp.float32)
     xb = x_ref[0].astype(jnp.float32)
-    mask = _row_mask(t, S, gb.shape)
+    mask = _row_mask(t, S, gb.shape, ts)
     gb = jnp.where(mask, gb, 0.0)
     # mask x as well: tail-tile OOB reads can be NaN and 0*NaN = NaN
     xb = jnp.where(mask, xb, 0.0)
@@ -279,12 +291,13 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3, group: int = None) -> Array:
         C = C // f
         xf, gf = x3, g3
     Sf, Cf = xf.shape[1], xf.shape[2]
+    ts = _tile_rows(Cf)
     mean_f = jnp.tile(mean, (1, f)) if f > 1 else mean
     rstd_f = jnp.tile(rstd, (1, f)) if f > 1 else rstd
     sums = pl.pallas_call(
-        functools.partial(_bwd_stats_kernel, Sf, slope),
-        grid=(B, _grid_tiles(Sf)),
-        in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
+        functools.partial(_bwd_stats_kernel, Sf, ts, slope),
+        grid=(B, _grid_tiles(Sf, ts)),
+        in_specs=[_tile_spec(Cf, ts), _tile_spec(Cf, ts), _chan_spec(Cf),
                   _chan_spec(Cf)],
         out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -300,10 +313,10 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3, group: int = None) -> Array:
         mgy = jnp.tile(mgy, (1, f))
     dx = pl.pallas_call(
         functools.partial(_bwd_apply_kernel, slope),
-        grid=(B, _grid_tiles(Sf)),
-        in_specs=[_tile_spec(Cf), _tile_spec(Cf), _chan_spec(Cf),
+        grid=(B, _grid_tiles(Sf, ts)),
+        in_specs=[_tile_spec(Cf, ts), _tile_spec(Cf, ts), _chan_spec(Cf),
                   _chan_spec(Cf), _chan_spec(Cf), _chan_spec(Cf)],
-        out_specs=_tile_spec(Cf),
+        out_specs=_tile_spec(Cf, ts),
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), g3.dtype),
     )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :], mg[:, None, :],
       mgy[:, None, :])

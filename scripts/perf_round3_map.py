@@ -185,6 +185,8 @@ def main():
 
     k = jax.random.PRNGKey(3)
     t_full = report("full step", full, params, opt, k)
+    if os.environ.get("FULL_ONLY"):
+        return
     t_g = report("G phase (grad+adam)", make_gphase(True), params, opt, k)
     t_gn = report("G phase, no GAN terms", make_gphase(False), params, opt, k)
     t_d = report("D phase (grad+adam)", dphase, params, opt, k)
