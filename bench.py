@@ -173,18 +173,17 @@ def main():
 def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     """CycleGAN train step throughput + MFU.
 
-    Measured ceiling analysis (TPU v5e, scripts/perf_cyclegan.py + shell
-    bisect): the Johnson-resnet GAN step is BANDWIDTH-bound, not MXU-bound.
-    The 6 resblocks (86% of FLOPs) run at ~45% MFU; the stem/down/up shell
-    runs at ~11% because its full-resolution 64-channel activations
-    (75 MB/tensor at batch 3x256^2) hit the 819 GB/s HBM limit, and every
-    instance norm adds two more full passes (stats + normalize) that XLA
-    cannot fuse into the convs. Packed routes (s2d stem/head, packed
-    stride-2 downs, subpixel transposed convs — all exact, see nn/layers)
-    recover the lane-padding waste, lifting the step from 16.2% to ~20%
-    MFU; the remaining gap to the 40% aspiration is instance-norm traffic,
-    i.e. inherent to the architecture at this batch/resolution rather than
-    to the kernels (norm-free variant measures ~30% higher throughput).
+    Measured ceiling analysis (TPU v5e, round 3 — docs/PERFORMANCE.md):
+    the packed generator shell + fused Pallas resblocks/instance norms +
+    packed discriminator + custom-VJP conv routes took the production
+    3x512^2 step 401 -> ~161 ms (2.49 -> 6.2 steps/s). At that point the
+    step sits simultaneously at ~33% real MXU utilization and ~75% of
+    achievable HBM read+write bandwidth, and is SCHEDULING-bound: five
+    further exact re-expressions (each faster in isolation, each
+    parity-tested) all measured neutral-or-worse at step level, because
+    every opaque custom call re-rolls XLA's layout/fusion choices around
+    it (see "Measured and rejected" in docs/PERFORMANCE.md). Remaining
+    headroom belongs to a fully fused fwd+bwd generator megakernel.
     """
     import jax.numpy as jnp
     import optax
