@@ -271,11 +271,14 @@ def _device_union_find_batched(
         sentinel = n_nodes + idx  # inactive edges occupy unique fake roots
         k_ru = jnp.where(active, ru, sentinel)
         k_rv = jnp.where(active, rv, sentinel + K)
-        roots2 = jnp.concatenate([k_ru, k_rv]).astype(jnp.int64)
+        roots2 = jnp.concatenate([k_ru, k_rv])
         idx2 = jnp.concatenate([idx, idx])
-        order = jnp.argsort(roots2 * (2 * K) + idx2)
-        sr = roots2[order]
-        si = idx2[order]
+        # lexicographic (root, idx) sort via a two-key lax.sort: the old
+        # int32 composite key roots2*(2K)+idx2 overflows once
+        # n_nodes*2K > 2^31 (any production-sized chunk), silently
+        # scrambling the root grouping below
+        sr, si, order = jax.lax.sort(
+            (roots2, idx2, jnp.arange(2 * K, dtype=jnp.int32)), num_keys=2)
         first = jnp.concatenate([jnp.ones((1,), bool), sr[1:] != sr[:-1]])
         start_pos = jax.lax.associative_scan(
             jnp.maximum, jnp.where(first, jnp.arange(2 * K), -1))

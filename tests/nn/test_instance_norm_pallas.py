@@ -81,6 +81,35 @@ def test_gradient_parity_partial_tile(monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wide_channel_scaled_tiles():
+    """C > 256 scales the row tile down (_tile_rows; fixed 2048-row tiles
+    compile-OOM'd the 16 MB scoped VMEM at C=512 on hardware) — values
+    AND gradients must stay exact across the scaled multi-tile + partial
+    tail path."""
+    import raygun_tpu.nn.pallas.instance_norm as m
+
+    assert m._tile_rows(512) == 1024 and m._tile_rows(256) == m._TILE_S
+    from raygun_tpu.nn.pallas.instance_norm import instance_norm_act_fused
+
+    # S = 4900 -> 5 tiles of 1024 incl. a partial tail at C=512
+    x = jax.random.normal(jax.random.PRNGKey(11), (1, 70, 70, 512),
+                          jnp.float32)
+
+    def ref_loss(v):
+        y = _xla_in(v)
+        return jnp.sum(jnp.where(y > 0, y, 0.0) ** 2)
+
+    def got_loss(v):
+        return jnp.sum(instance_norm_act_fused(v, 1e-5, 0.0) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        v_got, g_got = jax.value_and_grad(got_loss)(x)
+    v_ref, g_ref = jax.value_and_grad(ref_loss)(x)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bf16_forward_close():
     """bf16 inputs: fp32-accumulated Pallas stats vs fp32 reference."""
     x32 = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 8), jnp.float32)

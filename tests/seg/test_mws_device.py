@@ -77,6 +77,48 @@ def test_batched_device_union_find_small_chunks():
     np.testing.assert_array_equal(canon(got), canon(ref))
 
 
+def test_batched_device_union_find_high_node_ids():
+    """Regression: the round's (root, idx) grouping must be exact when
+    n_nodes * 2*chunk exceeds int32 range (production-sized chunks). The
+    pre-fix composite sort key roots2*(2K)+idx2 overflowed int32 there,
+    silently scrambling the first-touch independence set; the two-key
+    lax.sort is overflow-free. Checked against the exact sequential
+    union-find on the same presorted edges at node ids near 40M."""
+    from raygun_tpu.seg import mws_device as m
+    import jax.numpy as jnp
+
+    n_nodes = 40_000_000  # 40M * 2*4096 = 3.3e11 >> 2^31
+    base = n_nodes - 200
+    u_l, v_l, at_l = [], [], []
+    for k in range(0, 20, 2):  # attractive pairs (base+k, base+k+1)
+        u_l.append(base + k)
+        v_l.append(base + k + 1)
+        at_l.append(True)
+    u_l.append(base + 0)  # mutex between the first two groups...
+    v_l.append(base + 2)
+    at_l.append(False)
+    u_l.append(base + 1)  # ...which must block this later merge
+    v_l.append(base + 3)
+    at_l.append(True)
+    u = jnp.asarray(u_l, jnp.int32)
+    v = jnp.asarray(v_l, jnp.int32)
+    at = jnp.asarray(at_l)
+    valid = jnp.ones((len(u_l),), bool)
+    w = jnp.arange(len(u_l), 0, -1).astype(jnp.float32)
+
+    roots_b, ok = m._device_union_find_batched(
+        u, v, at, valid, n_nodes, mutex_slots=64)
+    assert bool(ok)
+    roots_s = m._device_union_find(u, v, w, at, valid, n_nodes, 64)
+    got = np.asarray(roots_b)[base:base + 20]
+    ref = np.asarray(roots_s)[base:base + 20]
+    _, gi = np.unique(got, return_inverse=True)
+    _, ri = np.unique(ref, return_inverse=True)
+    np.testing.assert_array_equal(gi, ri)
+    # and the mutex held: groups {0,1} and {2,3} stayed separate
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+
 def test_batched_device_union_find_overflow_reports():
     """Mutex-slot overflow must be REPORTED (ok=False), not mis-segmented."""
     from raygun_tpu.seg import mws_device as m
