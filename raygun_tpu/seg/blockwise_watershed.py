@@ -58,11 +58,14 @@ class _RegionGraph:
         a = np.minimum(fa, fb).astype(np.int64)
         b = np.maximum(fa, fb).astype(np.int64)
         bins = np.clip((affs * 255.0).astype(np.int64), 0, 255)
-        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-        order = np.argsort(key, kind="stable")
-        key_s, a_s, b_s, bins_s = key[order], a[order], b[order], bins[order]
-        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
-        ends = np.r_[starts[1:], len(key_s)]
+        # lexicographic (a, b) grouping — NOT a packed (a<<32)|b key, which
+        # silently collides pairs once fragment ids exceed 2^32 (reachable
+        # at teravoxel scale with small fragments)
+        order = np.lexsort((b, a))
+        a_s, b_s, bins_s = a[order], b[order], bins[order]
+        starts = np.flatnonzero(
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])])
+        ends = np.r_[starts[1:], len(a_s)]
         for s, e in zip(starts, ends):
             pair = (int(a_s[s]), int(b_s[s]))
             h = self.hists.get(pair)
