@@ -385,6 +385,19 @@ class BaseSystem:
         raise NotImplementedError()
 
     # -- drivers --------------------------------------------------------------
+    def _steps_per_call(self, tk: dict) -> int:
+        """``train_kwargs.steps_per_call``: run K steps as one dispatched
+        lax.scan between host syncs (amortizes fixed dispatch cost; exact —
+        see train/loop.py). Requires device-resident sampling: in
+        ``stream: true`` mode every step pulls crops from the host, so a
+        scanned chunk would freeze one crop pair for the whole chunk."""
+        spc = int(tk.get("steps_per_call", 1) or 1)
+        if spc > 1 and bool(getattr(self, "stream_mode", False)):
+            raise ValueError(
+                "train_kwargs.steps_per_call > 1 is incompatible with "
+                "stream: true (host crops are fetched per step)")
+        return spc
+
     def make_validate_fn(self):
         """Training-time validation hook (parity: reference
         ``BaseCompetentLoss.update_status:72-76`` firing ``run_validation``

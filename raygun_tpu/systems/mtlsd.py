@@ -736,6 +736,7 @@ class MTLSD(BaseSystem):
             validate_fn=validate_fn,
             profile_dir=tk.get("profile_dir"),
             profile_steps=tuple(tk.get("profile_steps", (10, 20))),
+            steps_per_call=self._steps_per_call(tk),
         )
 
     def make_request(self, mode: str = "train"):

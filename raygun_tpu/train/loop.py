@@ -89,6 +89,7 @@ class Trainer:
         validate_fn: Optional[Callable[[int], Any]] = None,
         profile_dir: Optional[str] = None,
         profile_steps: Sequence[int] = (10, 20),
+        steps_per_call: int = 1,
     ):
         self.step_fn = step_fn
         # {start_step: fn} phase switches (e.g. freeze_norms_at — reference
@@ -124,6 +125,16 @@ class Trainer:
         self.profile_dir = profile_dir
         self.profile_steps = tuple(profile_steps)
         self._profiling = False
+        # steps_per_call > 1 runs K steps as ONE dispatched lax.scan
+        # between host syncs — amortizing the fixed per-execution dispatch
+        # cost (25 ms through the axon relay; host dispatch latency on any
+        # deployment). Chunks never straddle a logging/checkpoint/snapshot/
+        # validation/phase/profile boundary, so every observable event sees
+        # exactly the same state and metrics as steps_per_call=1 (same
+        # per-iteration PRNG keys). Device-resident sampling only — the
+        # systems reject it in `stream: true` mode (host crops per step).
+        self.steps_per_call = max(1, int(steps_per_call or 1))
+        self._multi_cache: Dict[Any, Callable] = {}
         self.stats = ProfilingStats()
 
     # -- checkpointing ---------------------------------------------------
@@ -217,14 +228,48 @@ class Trainer:
                 "norm_params", np.concatenate(norm_leaves), global_step=step
             )
 
+    # -- multi-step dispatch ------------------------------------------------
+    def _multi_step(self, step_fn, n: int) -> Callable:
+        """One jitted lax.scan of ``n`` steps; returns the LAST step's
+        metrics (chunks end exactly at logging boundaries, so the logged
+        metric is identical to per-step dispatch)."""
+        ck = (id(step_fn), n)
+        fn = self._multi_cache.get(ck)
+        if fn is None:
+            def multi(state, keys):
+                state, ms = jax.lax.scan(step_fn, state, keys)
+                return state, jax.tree.map(lambda a: a[-1], ms)
+
+            fn = jax.jit(multi)
+            self._multi_cache[ck] = fn
+        return fn
+
+    def _chunk_len(self, i: int) -> int:
+        """Steps runnable from iteration ``i`` without crossing any
+        observable boundary (events fire at step = i+1 multiples)."""
+        n = min(self.steps_per_call, self.num_epochs - i)
+        for c in (self.log_every, self.save_every, self.snapshot_every,
+                  self.image_every, self.histogram_every,
+                  self.validate_every):
+            if c:
+                n = min(n, int(c) - (i % int(c)))
+        for b in self.step_fn_phases:
+            if b > i:
+                n = min(n, b - i)
+        if self.profile_dir is not None:
+            for b in self.profile_steps:
+                if b > i:
+                    n = min(n, b - i)
+        return max(1, n)
+
     # -- main loop ---------------------------------------------------------
     def train(self, start_iteration: Optional[int] = None) -> Any:
         it0 = self.resume() if start_iteration is None else start_iteration
-        iters = range(it0, self.num_epochs)
-        bar = trange(it0, self.num_epochs, desc="train") if trange else iters
+        bar = trange(it0, self.num_epochs, desc="train") if trange else None
         last_metrics = None
         step_fn = self.step_fn
-        for i in bar:
+        i = it0
+        while i < self.num_epochs:
             for boundary, fn in self.step_fn_phases.items():
                 if i >= boundary:
                     step_fn = fn
@@ -243,11 +288,28 @@ class Trainer:
                     print(f"wrote jax.profiler trace to {self.profile_dir}")
             key = jax.random.fold_in(self.base_key, i)
             t0 = time.perf_counter()
-            self.state, metrics = step_fn(self.state, key)
-            step = i + 1
+            n = 1
+            if self.steps_per_call > 1:
+                n = self._chunk_len(i)
+            if n > 1:
+                keys = jax.vmap(
+                    lambda t: jax.random.fold_in(self.base_key, t)
+                )(jnp.arange(i, i + n))
+                self.state, metrics = self._multi_step(step_fn, n)(
+                    self.state, keys)
+            else:
+                self.state, metrics = step_fn(self.state, key)
+            step = i + n
+            i = step
+            # key of the LAST executed iteration (what spc=1 would pass to
+            # snapshot/log_images at this event boundary)
+            if n > 1:
+                key = jax.random.fold_in(self.base_key, step - 1)
+            if bar is not None:
+                bar.update(n)
             if step % self.log_every == 0 or step == self.num_epochs:
                 metrics = jax.device_get(metrics)  # sync point
-                self.stats.add("step", time.perf_counter() - t0)
+                self.stats.add("step", (time.perf_counter() - t0) / n)
                 last_metrics = metrics
                 if trange and hasattr(bar, "set_postfix"):
                     bar.set_postfix(
@@ -260,7 +322,7 @@ class Trainer:
                     if self.log_fn is not None:
                         self.log_fn(self.writer, self.state, step)
             else:
-                self.stats.add("step_async", time.perf_counter() - t0)
+                self.stats.add("step_async", (time.perf_counter() - t0) / n)
             if self.save_every and step % self.save_every == 0:
                 self.save(step)
                 print(f"\n{self.stats.summary()}")
@@ -279,6 +341,8 @@ class Trainer:
                 if not (self.save_every and step % self.save_every == 0):
                     self.save(step)  # validation loads the checkpoint
                 self.validate_fn(step)
+        if bar is not None:
+            bar.close()
         if self._profiling:
             jax.profiler.stop_trace()
             self._profiling = False

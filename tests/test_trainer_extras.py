@@ -152,3 +152,94 @@ def test_legacy_conv_param_path_migration(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(loaded[k]["kernel"]), np.asarray(params[k]["kernel"])
         )
+
+
+def _spc_trainer(tmp_path, tag, spc, n_epochs=23, log_every=3,
+                 save_every=10, phases=None):
+    """Trainer whose step mixes the PRNG key into the params, so any
+    deviation in per-iteration keys or step order changes the state."""
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params={"w": jnp.ones((4,), jnp.float32)},
+        opt_state=jnp.zeros(()),
+    )
+
+    def step_fn(state, key):
+        d = jax.random.normal(key, (4,)) * 0.01
+        p = {"w": state.params["w"] + d}
+        return (
+            state.replace(step=state.step + 1, params=p),
+            {"loss": jnp.sum(p["w"])},
+        )
+
+    w = FakeWriter()
+    tr = Trainer(
+        step_fn=step_fn,
+        state=state,
+        step_fn_phases=phases(step_fn) if phases else None,
+        num_epochs=n_epochs,
+        log_every=log_every,
+        save_every=save_every,
+        checkpoint_basename=str(tmp_path / f"model_{tag}"),
+        voxel_size=(1, 1, 1),
+        steps_per_call=spc,
+    )
+    tr.writer = w
+    return tr, w
+
+
+def test_steps_per_call_exact_equivalence(tmp_path):
+    """steps_per_call=5 must produce bit-identical state, logged scalars,
+    and checkpoints vs per-step dispatch (chunks never straddle a
+    logging/save boundary; same fold_in(seed, i) keys per iteration)."""
+    tr1, w1 = _spc_trainer(tmp_path, "a", 1)
+    trk, wk = _spc_trainer(tmp_path, "b", 5)
+    tr1.train(start_iteration=0)
+    trk.train(start_iteration=0)
+    np.testing.assert_array_equal(
+        np.asarray(tr1.state.params["w"]), np.asarray(trk.state.params["w"]))
+    assert int(tr1.state.step) == int(trk.state.step) == 23
+    assert [(t, s) for t, _, s in w1.scalars] == [
+        (t, s) for t, _, s in wk.scalars]
+    for (_, v1, _), (_, vk, _) in zip(w1.scalars, wk.scalars):
+        assert v1 == vk
+    p1, i1 = latest_checkpoint(str(tmp_path / "model_a"))
+    pk, ik = latest_checkpoint(str(tmp_path / "model_b"))
+    assert i1 == ik == 23
+
+
+def test_steps_per_call_respects_phase_boundary(tmp_path):
+    """A step_fn_phases switch mid-run must land on the same iteration."""
+
+    def phases(base):
+        def flipped(state, key):
+            s, m = base(state, key)
+            return s.replace(params={"w": -s.params["w"]}), m
+        return {7: flipped}
+
+    tr1, _ = _spc_trainer(tmp_path, "p1", 1, n_epochs=13, log_every=13,
+                          save_every=0, phases=phases)
+    trk, _ = _spc_trainer(tmp_path, "pk", 4, n_epochs=13, log_every=13,
+                          save_every=0, phases=phases)
+    tr1.train(start_iteration=0)
+    trk.train(start_iteration=0)
+    np.testing.assert_array_equal(
+        np.asarray(tr1.state.params["w"]), np.asarray(trk.state.params["w"]))
+
+
+def test_steps_per_call_rejected_in_stream_mode():
+    from raygun_tpu.systems.base import BaseSystem
+
+    class S(BaseSystem):
+        pass
+
+    s = S.__new__(S)
+    s.stream_mode = True
+    try:
+        s._steps_per_call({"steps_per_call": 4})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "stream" in str(e)
+    s.stream_mode = False
+    assert s._steps_per_call({"steps_per_call": 4}) == 4
+    assert s._steps_per_call({}) == 1
