@@ -468,6 +468,15 @@ def _rb_fwd(x, w1, b1, w2, b2, eps):
 
 def _rb_bwd(eps, res, dout):
     x, w1, b1, w2, b2, y1, y2, mean1, rstd1, mean2, rstd2 = res
+    from .resblock_bwd import rb_bwd_fused, rb_bwd_fused_ok
+
+    if rb_bwd_fused_ok(x):
+        # whole-block backward in TWO resident kernels (vs ~8 split
+        # passes) — same formulas/rounding points; see resblock_bwd.py
+        dx, dw1, db1, dw2, db2 = rb_bwd_fused(
+            x, w1, w2, y1, y2, mean1, rstd1, mean2, rstd2, dout)
+        return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype))
     B, H, W, C = x.shape
     n = H * W
     d3 = dout.reshape(B, n, C)

@@ -39,7 +39,10 @@ def _timeit(c, args):
 
 
 def report(name, fn, *args):
-    c = jax.jit(fn).lower(*args).compile()
+    # optional XLA compiler-option A/B: XLA_OPTS='{"flag": "value", ...}'
+    opts = os.environ.get("XLA_OPTS")
+    copts = __import__("json").loads(opts) if opts else None
+    c = jax.jit(fn).lower(*args).compile(compiler_options=copts)
     cost = c.cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]

@@ -100,3 +100,101 @@ def test_route_gate():
     # CPU test runs must never take the pallas route
     x = jnp.zeros((3, 128, 128, 256), jnp.bfloat16)
     assert resblock_fused_ok(x) in (False,)  # platform-gated
+
+
+def test_chain_parity_values_and_grads():
+    """N-block chain megakernel == N sequential fused blocks, bit-level.
+
+    The chain kernel reuses the per-block math in the same slab order, so
+    values and ALL gradients match the sequential route exactly (fp32)."""
+    from raygun_tpu.nn.pallas.resblock import resblock_fused
+    from raygun_tpu.nn.pallas.resblock_chain import resblock_chain_fused
+
+    N, B, H, W, C = 3, 2, 16, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, H, W, C), jnp.float32) * 1.5
+    w1s = jax.random.normal(ks[1], (N, 3, 3, C, C), jnp.float32) * 0.05
+    b1s = jax.random.normal(ks[2], (N, C), jnp.float32) * 0.1
+    w2s = jax.random.normal(ks[3], (N, 3, 3, C, C), jnp.float32) * 0.05
+    b2s = jax.random.normal(ks[4], (N, C), jnp.float32) * 0.1
+
+    def seq(x, w1s, b1s, w2s, b2s):
+        h = x
+        for i in range(N):
+            h = resblock_fused(h, w1s[i], b1s[i], w2s[i], b2s[i])
+        return h
+
+    t = jax.random.normal(jax.random.PRNGKey(9), x.shape, jnp.float32)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * t)
+
+    args = (x, w1s, b1s, w2s, b2s)
+    with pltpu.force_tpu_interpret_mode():
+        ref = seq(*args)
+        got = resblock_chain_fused(*args)
+        gr = jax.grad(loss(seq), argnums=(0, 1, 2, 3, 4))(*args)
+        gc = jax.grad(loss(resblock_chain_fused),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    for name, a, b in zip("dx dw1 db1 dw2 db2".split(), gc, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_bwd_parity(dtype):
+    """Two-kernel resident backward == the split ~8-pass backward.
+
+    Same formulas and bf16 rounding points; only fp32 summation order
+    differs (row-slab association), so dx/dw match at fp32 noise and the
+    analytically-zero bias grads at absolute fp32 noise."""
+    from raygun_tpu.nn.pallas.instance_norm import _bwd_dx
+    from raygun_tpu.nn.pallas.resblock import _conv_bwd, _rb_forward
+    from raygun_tpu.nn.pallas.resblock_bwd import rb_bwd_fused
+
+    B, H, W, C = 2, 32, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = (jax.random.normal(ks[0], (B, H, W, C), jnp.float32) * 1.5
+         ).astype(dtype)
+    w1 = (jax.random.normal(ks[1], (3, 3, C, C), jnp.float32) * 0.05
+          ).astype(dtype)
+    b1 = (jax.random.normal(ks[2], (C,), jnp.float32) * 0.1).astype(dtype)
+    w2 = (jax.random.normal(ks[3], (3, 3, C, C), jnp.float32) * 0.05
+          ).astype(dtype)
+    b2 = (jax.random.normal(ks[4], (C,), jnp.float32) * 0.1).astype(dtype)
+    dout = jax.random.normal(ks[5], (B, H, W, C), jnp.float32).astype(dtype)
+    n = H * W
+    with pltpu.force_tpu_interpret_mode():
+        _, (y1, y2, m1, r1, m2, r2) = _rb_forward(x, w1, b1, w2, b2, 1e-5)
+        dy2 = _bwd_dx(1e-5, None, y2.reshape(B, n, C), m2, r2,
+                      dout.reshape(B, n, C)).reshape(x.shape)
+        dh1, dw2_s, db2_s = _conv_bwd(dy2, y1, w2, stats=(m1, r1))
+        dy1 = _bwd_dx(1e-5, 0.0, y1.reshape(B, n, C), m1, r1,
+                      dh1.reshape(B, n, C)).reshape(x.shape)
+        dx_s, dw1_s, db1_s = _conv_bwd(dy1, x, w1, dout=dout)
+        dx_f, dw1_f, db1_f, dw2_f, db2_f = rb_bwd_fused(
+            x, w1, w2, y1, y2, m1, r1, m2, r2, dout)
+    tol = 3e-5 if dtype == jnp.float32 else 0.02
+    for name, a, b in [("dx", dx_s, dx_f), ("dw1", dw1_s, dw1_f),
+                       ("dw2", dw2_s, dw2_f)]:
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        np.testing.assert_allclose(a, b, rtol=tol,
+                                   atol=tol * max(1.0, np.abs(a).max()),
+                                   err_msg=name)
+    # bias grads of IN-backward outputs are analytically zero-sum: compare
+    # at absolute fp32 summation noise relative to the summand magnitudes
+    for name, a, b, g in [("db1", db1_s, db1_f, dy1),
+                          ("db2", db2_s, db2_f, dy2)]:
+        scale = float(jnp.abs(g).max()) * np.sqrt(B * n)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-6 * scale, rtol=0, err_msg=name)
+
+
+def test_fused_bwd_gate():
+    from raygun_tpu.nn.pallas.resblock_bwd import rb_bwd_fused_ok
+
+    x = jnp.zeros((3, 128, 128, 256), jnp.bfloat16)
+    assert rb_bwd_fused_ok(x) in (False,)  # platform-gated on CPU
