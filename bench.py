@@ -278,6 +278,7 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
 
     _os.environ["RAYGUN_DISABLE_PALLAS_RESBLOCK"] = "1"
     _os.environ["RAYGUN_DISABLE_PACKED_SHELL"] = "1"
+    _os.environ["RAYGUN_DISABLE_DISC_FUSED"] = "1"
     try:
         ref = make_run().lower(params, opt, jax.random.PRNGKey(2)).compile()
         cost = ref.cost_analysis()
@@ -287,6 +288,7 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
     finally:
         _os.environ.pop("RAYGUN_DISABLE_PALLAS_RESBLOCK", None)
         _os.environ.pop("RAYGUN_DISABLE_PACKED_SHELL", None)
+        _os.environ.pop("RAYGUN_DISABLE_DISC_FUSED", None)
     compiled = make_run().lower(params, opt, jax.random.PRNGKey(2)).compile()
     _ = float(compiled(params, opt, jax.random.PRNGKey(2)))
     best = 1e9

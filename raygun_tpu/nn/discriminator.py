@@ -60,6 +60,23 @@ class NLayerDiscriminator(nn.Module):
         ds_kw = self.downsampling_kw or self.kw
         return self.ndims == 2 and ds_kw == 2 and packed_disc_ok(x, self.ngf)
 
+    def uses_fused(self, x: Array) -> bool:
+        """True iff __call__(x) will run as the two-stage resident Pallas
+        megakernels (static at trace time): the exact production
+        architecture (ds_kw=2, kw=3, n_layers=3, non-affine instance
+        norm) at VMEM-resident per-image working sets
+        (nn/pallas/disc_fused.py)."""
+        from .layers import InstanceNorm
+        from .pallas.disc_fused import disc_fused_ok, disc_fused_structural_ok
+
+        if x.ndim != 4:
+            return False
+        ds_kw = self.downsampling_kw or self.kw
+        return disc_fused_structural_ok(
+            self.ndims, self.n_layers, self.kw, ds_kw,
+            make_norm(self.norm) is InstanceNorm,
+            x.shape[1], x.shape[2]) and disc_fused_ok(x, self.ngf)
+
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         nd = self.ndims
@@ -68,6 +85,44 @@ class NLayerDiscriminator(nn.Module):
         use_bias = self.norm is None or norm_name.startswith("instance") or norm_name == "none"
         lrelu = get_activation("leakyrelu")
         ds_kw = self.downsampling_kw or self.kw
+
+        # fused route (TPU, production architecture): the whole net as two
+        # resident Pallas kernels per direction — conv/norm boundaries
+        # never touch HBM (nn/pallas/disc_fused.py). Exact re-expression;
+        # params come through the SAME ConvNd modules (checkpoints swap
+        # freely across all three routes).
+        if self.uses_fused(x):
+            from .pallas.disc_fused import disc_fused_apply
+
+            ws = []
+            w0, b0 = ConvNd(
+                features=self.ngf, kernel_size=(2,) * nd, strides=2,
+                padding=1, name="conv_0",
+            )(x, params_only=True)
+            ws += [w0, b0]
+            nf_mult = 1
+            for n in range(1, self.n_layers):
+                nf_prev, nf_mult = nf_mult, min(2**n, 8)
+                wn, bn = ConvNd(
+                    features=self.ngf * nf_mult, kernel_size=(2,) * nd,
+                    strides=2, padding=1, use_bias=use_bias,
+                    name=f"conv_{n}",
+                )(jnp.zeros((1, 1, 1, self.ngf * nf_prev), x.dtype),
+                  params_only=True)
+                ws += [wn, bn]
+            nf_mult = min(2**self.n_layers, 8)
+            w3, b3 = ConvNd(
+                features=self.ngf * nf_mult, kernel_size=(self.kw,) * nd,
+                strides=1, padding=1, use_bias=use_bias,
+                name=f"conv_{self.n_layers}",
+            )(jnp.zeros((1, 1, 1, self.ngf * nf_mult // 2), x.dtype),
+              params_only=True)
+            wo, bo = ConvNd(
+                features=1, kernel_size=(self.kw,) * nd, strides=1,
+                padding=1, name="conv_out",
+            )(jnp.zeros((1, 1, 1, self.ngf * nf_mult), x.dtype),
+              params_only=True)
+            return disc_fused_apply(x, *ws, w3, b3, wo, bo)
 
         # packed route (TPU): the k2-s2-p1 downsampling stack runs as 1x1
         # GEMMs over space-to-depth'd pair tensors and conv_out as a
