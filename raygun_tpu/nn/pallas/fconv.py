@@ -394,6 +394,35 @@ def _fpc_bwd(group, pad, eps, slope, res, dy):
 fused_pro_conv2.defvjp(_fpc_fwd, _fpc_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv2_plain(x: Array, w2s: Array, b2: Array, pad: str) -> Array:
+    """conv2x2(pad1_{pad}(x)) + b2 — the fused stage WITHOUT the
+    prologue IN (for callers that already normalized, e.g. the
+    megakernel up path, nn/pallas/shell_fused.py). Same kernels as
+    :func:`fused_pro_conv2`; the VJP is just the transpose conv + wgrad
+    (no IN backward)."""
+    return _k2(x, w2s, b2, pad)
+
+
+def _c2p_fwd(x, w2s, b2, pad):
+    return _k2(x, w2s, b2, pad), (x, w2s)
+
+
+def _c2p_bwd(pad, res, dy):
+    x, w2s = res
+    Cin = x.shape[-1]
+    Cout = w2s.shape[-1]
+    w22 = w2s.reshape(2, 2, Cin, Cout)
+    wT = jnp.flip(w22, (0, 1)).transpose(0, 1, 3, 2).reshape(
+        2, 2 * Cout, Cin)
+    dx = _k2(dy, wT, None, "hi" if pad == "lo" else "lo", out_dtype=x.dtype)
+    dw, db = _k2_wgrad(dy, x, None, pad, 0.0)
+    return (dx, dw.astype(w2s.dtype), db.astype(w2s.dtype))
+
+
+conv2_plain.defvjp(_c2p_fwd, _c2p_bwd)
+
+
 def stack_taps2(w22: Array) -> Array:
     """(2, 2, Cin, Cout) -> (2, 2*Cin, Cout) row-major (tx, c_in) stack,
     the layout :func:`fused_pro_conv2` consumes. Pure reshape — autodiff

@@ -197,8 +197,18 @@ class ResNet(nn.Module):
             )
             from .pallas.fconv import fconv2_ok, fused_pro_conv2
             from .pallas.instance_norm import instance_norm_act_packed
+            from .pallas.shell_fused import shell_fused_ok
 
             dt = x.dtype
+
+            # megakernel shell route (TPU, production family): each shell
+            # path runs as TWO resident Pallas kernels per direction with
+            # in-kernel instance norms (nn/pallas/shell_fused.py) —
+            # replaces ~10 kernel boundaries per apply. Exact
+            # re-expression; params through the SAME modules.
+            if shell_fused_ok(x, self.ngf) and not self.use_dropout:
+                return self._packed_shell_mega(x, train, head_fold,
+                                               use_bias, output_nc)
             w_s, b_s = ConvNd(
                 features=self.ngf, kernel_size=(7, 7), padding="valid",
                 use_bias=use_bias, name="stem",
@@ -368,6 +378,101 @@ class ResNet(nn.Module):
             if b1 is not None:
                 h = h + b1.astype(h.dtype)
         return h
+
+
+    def _packed_shell_mega(self, x, train, head_fold, use_bias, output_nc):
+        """The packed shell as four resident Pallas megakernels
+        (nn/pallas/shell_fused.py): D1 (stem+IN+relu+down_0), D2
+        (IN+relu+down_1+IN+relu), blocks, U1 (up_0+IN+relu), U2
+        (up_1+IN+relu), then the packed 7x7 head. Exact re-expression of
+        the packed route below; identical param tree (same modules)."""
+        from .layers import pack_conv_kernel_io
+        from .packed_shell import head_from_packed, up1_packed_kernel
+        from .pallas.fconv import conv2_plain, fconv2_ok
+        from .pallas.instance_norm import instance_norm_act_packed
+        from .pallas.shell_fused import (
+            d1_fused, d2_fused, stem_im2col, u1_fused,
+        )
+
+        nd = self.ndims
+        dt = x.dtype
+        ngf = self.ngf
+        C0, C1, C2 = 4 * ngf, 2 * ngf, 4 * ngf
+
+        w_s, b_s = ConvNd(
+            features=ngf, kernel_size=(7, 7), padding="valid",
+            use_bias=use_bias, name="stem",
+        )(x, params_only=True)
+        w_d0, b_d0 = ConvNd(
+            features=2 * ngf, kernel_size=(3, 3), strides=2, padding=1,
+            use_bias=use_bias, name="down_0",
+        )(jnp.zeros((1, 1, 1, ngf), dt), params_only=True)
+        w_d1, b_d1 = ConvNd(
+            features=4 * ngf, kernel_size=(3, 3), strides=2, padding=1,
+            use_bias=use_bias, name="down_1",
+        )(jnp.zeros((1, 1, 1, 2 * ngf), dt), params_only=True)
+
+        xcol = stem_im2col(x)
+        ws = pack_conv_kernel_io(
+            w_s.astype(dt), (2, 2), (2, 2), (1, 1), (0, 0))[0].reshape(
+                -1, C0)
+        wd0 = pack_conv_kernel_io(
+            w_d0.astype(dt), (2, 2), (1, 1), (2, 2), (1, 1))[0].reshape(
+                2, 2 * C0, C1)
+        # D2's in-kernel packing has fine origin -1 (the k3 zero pad is
+        # inside the padded cell grid) -> starts (0, 0), not down_0's
+        # pre-padded (1, 1)
+        wd1 = pack_conv_kernel_io(
+            w_d1.astype(dt), (2, 2), (1, 1), (2, 2), (0, 0))[0].reshape(
+                2, 2 * 4 * C1, C2)
+
+        y1 = d1_fused(xcol, ws, jnp.tile(b_s, 4).astype(dt),
+                      wd0, b_d0.astype(dt))
+        h = d2_fused(y1, wd1, b_d1.astype(dt))
+
+        for i in range(self.n_blocks):
+            h = ResnetBlock(
+                dim=C2, ndims=nd, padding_type=self.padding_type.lower(),
+                norm=self.norm, use_dropout=self.use_dropout,
+                use_bias=use_bias, activation=self.activation,
+                name=f"block_{i}",
+            )(h, train=train)
+        if self.add_noise == "param":
+            h = ParameterizedNoiseBlock()(h)
+        elif self.add_noise:
+            h = NoiseBlock()(h)
+
+        w_u0, b_u0 = ConvTransposeNd(
+            features=C1, kernel_size=(3, 3), strides=2, padding=1,
+            output_padding=1, use_bias=use_bias, name="up_0",
+        )(jnp.zeros((1, 1, 1, C2), dt), params_only=True)
+        w_u1, b_u1 = ConvTransposeNd(
+            features=ngf, kernel_size=(3, 3), strides=2, padding=1,
+            output_padding=1, use_bias=use_bias, name="up_1",
+        )(jnp.zeros((1, 1, 1, C1), dt), params_only=True)
+
+        wu0 = up1_packed_kernel(w_u0.astype(dt)).reshape(2, 2 * C2, 4 * C1)
+        wu1 = up1_packed_kernel(w_u1.astype(dt)).reshape(2, 2 * C1, C0)
+
+        a3 = u1_fused(h, wu0, jnp.tile(b_u0, 4).astype(dt))
+        # up_1 runs as a plain (no-prologue — U1 owns IN3) fused k2 conv
+        # + the packed IN: the stage's in+out images alone exceed the
+        # resident VMEM budget (shell_fused.py docstring)
+        hp = conv2_plain(a3, wu1, jnp.tile(b_u1, 4).astype(dt), "hi")
+        hp = instance_norm_act_packed(hp, ngf)
+
+        w_h, b_h = ConvNd(
+            features=output_nc, kernel_size=(7, 7), padding="valid",
+            name="head",
+        )(jnp.zeros((1, 1, 1, ngf), dt), params_only=True)
+        if head_fold is not None:
+            V, b1 = head_fold
+            Vf = V.reshape(V.shape[-2:]).astype(jnp.float32)
+            w_h = jnp.einsum("yxim,mo->yxio", w_h.astype(jnp.float32), Vf)
+            b_h = b_h.astype(jnp.float32) @ Vf
+            if b1 is not None:
+                b_h = b_h + b1.astype(jnp.float32)
+        return head_from_packed(hp, w_h.astype(dt), b_h.astype(dt))
 
 
 def resnet_valid_output_shape(input_shape, n_blocks=6, n_downsampling=2):
