@@ -516,118 +516,6 @@ def _d2_kernel(Hc, Wc, C1, C2, SH, SHq, y1_ref, wd1_ref, bd1_ref, a2_ref,
     jax.lax.fori_loop(0, nq, out_body, 0)
 
 
-def _d2_bwd_a_kernel(Hc, Wc, C1, C2, SH, SHq, da2_ref, y1_ref, st1_in_ref,
-                     st2_in_ref, wd1_ref, bd1_ref, dy2_ref, dw1_ref,
-                     db1_ref, st1_ref, st2_ref, apad_ref, apk_ref):
-    """relu∘IN2 backward (y2 recomputed via the apad domain) -> dy2 out,
-    plus down_1 wgrads."""
-    b = pl.program_id(0)
-    first = b == 0
-    dt = y1_ref.dtype
-    Hq, Wq = Hc // 2, Wc // 2
-    nq = Hq // SHq
-    st1_ref[0, :] = st1_in_ref[0, 0, :]
-    st1_ref[1, :] = st1_in_ref[0, 1, :]
-    st2_ref[0, :] = st2_in_ref[0, 0, :]
-    st2_ref[1, :] = st2_in_ref[0, 1, :]
-
-    _build_a1pad(y1_ref, apad_ref, Hc, Wc, C1, SH, st1_ref, dt)
-
-    def gs_body(i, carry):
-        sg, sgy = carry
-        yb = _d2_conv_slab(apad_ref, i, SHq, Wq, C1, C2, wd1_ref,
-                           bd1_ref, apk_ref, dt).astype(
-                               jnp.float32).reshape(SHq, Wq, C2)
-        gb = da2_ref[0, pl.ds(i * SHq, SHq)].astype(jnp.float32)
-        yhat = (yb - st2_ref[0, :][None, None, :]) * \
-            st2_ref[1, :][None, None, :]
-        gb = jnp.where(yhat > 0, gb, 0.0)
-        return (sg + jnp.sum(gb, axis=(0, 1)),
-                sgy + jnp.sum(gb * yhat, axis=(0, 1)))
-
-    z2 = jnp.zeros((C2,), jnp.float32)
-    sg, sgy = jax.lax.fori_loop(0, nq, gs_body, (z2, z2))
-    n2 = jnp.float32(Hq * Wq)
-    _fold_rows(st2_ref, 2, sg / n2, C2, 1)
-    _fold_rows(st2_ref, 3, sgy / n2, C2, 1)
-
-    def wg_body(i, carry):
-        dw0_, dw1_, db = carry
-        yb = _d2_conv_slab(apad_ref, i, SHq, Wq, C1, C2, wd1_ref,
-                           bd1_ref, apk_ref, dt).astype(
-                               jnp.float32).reshape(SHq, Wq, C2)
-        gb = da2_ref[0, pl.ds(i * SHq, SHq)].astype(jnp.float32)
-        dy2 = _in_bwd_slab(yb, gb, st2_ref, dt)
-        dy2_ref[0, pl.ds(i * SHq, SHq)] = dy2
-        dy2m = dy2.reshape(SHq * Wq, C2)
-        # apk still holds this slab's xq x-tap stack from _d2_conv_slab
-        apk = apk_ref[...]
-        dw0_ = dw0_ + jax.lax.dot_general(
-            apk[0:SHq, 0:Wq, 0:8 * C1].reshape(SHq * Wq, 8 * C1), dy2m,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dw1_ = dw1_ + jax.lax.dot_general(
-            apk[1:1 + SHq, 0:Wq, 0:8 * C1].reshape(SHq * Wq, 8 * C1),
-            dy2m,
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        db = db + jnp.sum(dy2m.astype(jnp.float32), axis=0)
-        return (dw0_, dw1_, db)
-
-    zw = jnp.zeros((8 * C1, C2), jnp.float32)
-    dw0_, dw1_, db = jax.lax.fori_loop(
-        0, nq, wg_body, (zw, zw, jnp.zeros((C2,), jnp.float32)))
-    _acc(dw1_ref, jnp.stack([dw0_, dw1_], axis=0), first)
-    _acc(db1_ref, db[None, :], first)
-
-
-def _d2_bwd_b_kernel(Hc, Wc, C1, C2, SHq, dy2_ref, wt_ref, da1pad_ref,
-                     apk_ref):
-    """down_1 transpose conv (dy2 padded lo+hi both axes, flipped taps)
-    interleaved straight into the da1pad staging output."""
-    dt = dy2_ref.dtype
-    Hq, Wq = Hc // 2, Wc // 2
-    nq = Hq // SHq
-
-    def dxq_body(s, _):
-        rows, virt = _rows_lo(_ref_rows(dy2_ref), s, SHq)
-        rows = _zero_virt(rows, virt, dt)
-        gp2 = _pad_col(rows, "both", dt)
-        for tx in range(2):
-            apk_ref[:, 0:Wq + 1, tx * C2:(tx + 1) * C2] = \
-                gp2[:, tx:tx + Wq + 1, :]
-        gpk = apk_ref[...]
-        acc = jnp.zeros((SHq * (Wq + 1), 4 * C1), jnp.float32)
-        for ty in range(2):
-            a = gpk[ty:ty + SHq, 0:Wq + 1, 0:2 * C2].reshape(
-                SHq * (Wq + 1), 2 * C2)
-            acc = acc + jax.lax.dot_general(
-                a, wt_ref[ty], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        blk = acc.astype(dt).reshape(SHq, Wq + 1, 4 * C1)
-        fine = _interleave(
-            blk[:, :, 0 * C1:1 * C1], blk[:, :, 1 * C1:2 * C1],
-            blk[:, :, 2 * C1:3 * C1], blk[:, :, 3 * C1:4 * C1],
-            SHq, Wq + 1, C1)
-        da1pad_ref[0, pl.ds(2 * s * SHq, 2 * SHq)] = fine
-        return 0
-
-    jax.lax.fori_loop(0, nq, dxq_body, 0)
-    # tail padded row Hq: dxq[Hq] = dy2[Hq-1] * wflip[ty=0]
-    last = dy2_ref[0, Hq - 1:Hq]
-    gp2 = _pad_col(last, "both", dt)
-    accl = jnp.zeros((Wq + 1, 4 * C1), jnp.float32)
-    for tx in range(2):
-        a = gp2[0, tx:tx + Wq + 1, :]
-        accl = accl + jax.lax.dot_general(
-            a, wt_ref[0, tx * C2:(tx + 1) * C2, :],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    blk = accl.astype(dt)[None]
-    fine = _interleave(
-        blk[:, :, 0 * C1:1 * C1], blk[:, :, 1 * C1:2 * C1],
-        blk[:, :, 2 * C1:3 * C1], blk[:, :, 3 * C1:4 * C1],
-        1, Wq + 1, C1)
-    da1pad_ref[0, 2 * Hq:2 * Hq + 2] = fine
-
-
 @jax.custom_vjp
 def d2_fused(y1, wd1s, bd1):
     """a2 = relu(IN(down_1(pad_lo(s2d(relu(IN(y1))))))). ``wd1s``:
@@ -664,54 +552,51 @@ def _d2_fwd(y1, wd1s, bd1):
 
 
 def _d2_bwd(res, da2):
+    """Composition backward (see _d1_bwd): the resident two-kernel
+    variant fit in isolation but Mosaic's in-scan block buffering pushed
+    it 14+ MB past the VMEM ceiling inside the scanned train step (git
+    history has the kernels). XLA convs + the grouped instance-norm
+    backward reproduce the same math."""
+    from ..layers import depth_to_space, space_to_depth
+    from .instance_norm import _as3d, _bwd_dx
+
     y1, wd1s, bd1, st1, st2 = res
     B, Hc, Wc, C1 = y1.shape
     C2 = wd1s.shape[-1]
     Hq, Wq = Hc // 2, Wc // 2
-    SH = _pick_slab(Hc)
-    SHq = min(_pick_slab(Hq), 8)
     dt = y1.dtype
-    dy2, dw1, db1 = pl.pallas_call(
-        functools.partial(_d2_bwd_a_kernel, Hc, Wc, C1, C2, SH, SHq),
-        grid=(B,),
-        in_specs=[_img_spec(Hq, Wq, C2), _img_spec(Hc, Wc, C1),
-                  _st_spec(C1), _st_spec(C2),
-                  _full_spec(2, 8 * C1, C2), _full_spec(1, C2)],
-        out_specs=[_img_spec(Hq, Wq, C2), _full_spec(2, 8 * C1, C2),
-                   _full_spec(1, C2)],
-        out_shape=[jax.ShapeDtypeStruct((B, Hq, Wq, C2), dt),
-                   jax.ShapeDtypeStruct((2, 8 * C1, C2), jnp.float32),
-                   jax.ShapeDtypeStruct((1, C2), jnp.float32)],
-        scratch_shapes=[
-            pltpu.VMEM((4, C1), jnp.float32),
-            pltpu.VMEM((4, C2), jnp.float32),
-            pltpu.VMEM((Hc + 2, Wc + 2, C1), dt),
-            pltpu.VMEM((SHq + 1, Wq + 1, 8 * C1), dt),
-        ],
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(da2, y1, st1, st2, wd1s, bd1[None, :])
-    wt = _flipT(wd1s, 4 * C1, C2)
-    da1pad = pl.pallas_call(
-        functools.partial(_d2_bwd_b_kernel, Hc, Wc, C1, C2, SHq),
-        grid=(B,),
-        in_specs=[_img_spec(Hq, Wq, C2), _full_spec(2, 2 * C2, 4 * C1)],
-        out_specs=_img_spec(Hc + 2, Wc + 2, C1),
-        out_shape=jax.ShapeDtypeStruct((B, Hc + 2, Wc + 2, C1), dt),
-        scratch_shapes=[
-            pltpu.VMEM((SHq + 1, Wq + 1, max(2 * C2, 4 * C1)), dt)],
-        compiler_params=_params(),
-        interpret=_interpret(),
-    )(dy2, wt)
-    # relu∘IN1 backward at the XLA/instance_norm level (grad-stats +
-    # apply kernels): the (y1, da1) pair exceeds the resident budget
-    from .instance_norm import _as3d, _bwd_dx
+    w22 = wd1s.reshape(2, 2, 4 * C1, C2)
 
+    mean1 = st1[:, 0, :][:, None, None, :]
+    rstd1 = st1[:, 1, :][:, None, None, :]
+    a1 = jnp.maximum(
+        (y1.astype(jnp.float32) - mean1) * rstd1, 0.0).astype(dt)
+    a1pad = jnp.pad(a1, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    xq = space_to_depth(a1pad, (2, 2))  # (B, Hq+1, Wq+1, 4C1)
+
+    from ..packed_shell import _conv
+
+    y2 = _conv(xq, w22.astype(dt), (1, 1)) + bd1.astype(dt)
+    dy2 = _bwd_dx(_EPS, 0.0, _as3d(y2), st2[:, 0, :], st2[:, 1, :],
+                  _as3d(da2)).reshape(y2.shape)
+
+    dw1 = jnp.stack([
+        jnp.concatenate([
+            jnp.einsum("bhwk,bhwc->kc",
+                       xq[:, ty:ty + Hq, tx:tx + Wq, :], dy2,
+                       preferred_element_type=jnp.float32)
+            for tx in range(2)], axis=0)
+        for ty in range(2)], axis=0)
+    db1 = jnp.sum(dy2.astype(jnp.float32), axis=(0, 1, 2))
+
+    wflip = jnp.flip(w22, (0, 1)).transpose(0, 1, 3, 2)
+    dxq = _conv(jnp.pad(dy2, [(0, 0), (1, 1), (1, 1), (0, 0)]),
+                wflip.astype(dt), (1, 1))
+    da1pad = depth_to_space(dxq, (2, 2))
     da1 = da1pad[:, 1:Hc + 1, 1:Wc + 1, :]
-    mean, rstd = st1[:, 0, :], st1[:, 1, :]
-    dy1 = _bwd_dx(_EPS, 0.0, _as3d(y1), mean, rstd, _as3d(da1))
-    return (dy1.reshape(y1.shape), dw1.astype(wd1s.dtype),
-            db1[0].astype(wd1s.dtype))
+    dy1 = _bwd_dx(_EPS, 0.0, _as3d(y1), st1[:, 0, :], st1[:, 1, :],
+                  _as3d(da1)).reshape(y1.shape)
+    return (dy1, dw1.astype(wd1s.dtype), db1.astype(wd1s.dtype))
 
 
 d2_fused.defvjp(lambda *a: _d2_fwd(*a), _d2_bwd)

@@ -201,42 +201,75 @@ class ResNet(nn.Module):
 
             dt = x.dtype
 
-            # megakernel shell route (TPU, production family): each shell
-            # path runs as TWO resident Pallas kernels per direction with
-            # in-kernel instance norms (nn/pallas/shell_fused.py) —
-            # replaces ~10 kernel boundaries per apply. Exact
-            # re-expression; params through the SAME modules.
+            # megakernel stages (TPU, production family): selected shell
+            # segments run as ONE resident Pallas kernel each with
+            # in-kernel instance norms (nn/pallas/shell_fused.py).
+            # RAYGUN_SHELL_MEGA selects stages ("d1,d2,u1"); each is an
+            # exact re-expression with the SAME param modules, so any
+            # combination is checkpoint-compatible. Default OFF: the
+            # full-mega apply measured SLOWER than the packed+fconv
+            # route at the production shape (13.99 vs 9.70 ms fwd,
+            # docs/PERFORMANCE.md "megakernel shell stages"), and no
+            # per-stage subset has yet won a step-level A/B.
+            mega = set()
             if shell_fused_ok(x, self.ngf) and not self.use_dropout:
-                return self._packed_shell_mega(x, train, head_fold,
-                                               use_bias, output_nc)
+                import os as _os
+
+                mega = {t.strip() for t in _os.environ.get(
+                    "RAYGUN_SHELL_MEGA", "").split(",") if t.strip()}
+
             w_s, b_s = ConvNd(
                 features=self.ngf, kernel_size=(7, 7), padding="valid",
                 use_bias=use_bias, name="stem",
             )(x, params_only=True)
-            y0 = stem_packed(x, w_s.astype(dt), b_s.astype(dt))
             w_d, b_d = ConvNd(
                 features=self.ngf * 2, kernel_size=(3, 3), strides=2,
                 padding=1, use_bias=use_bias, name="down_0",
             )(jnp.zeros((1, 1, 1, self.ngf), dt), params_only=True)
-            # fused stage (TPU): the packed stem output's IN+relu, the
-            # zero pad, and the 2x2-tap down_0 conv run in ONE Pallas
-            # kernel with a traffic-floor custom VJP (nn/pallas/fconv.py)
-            # — the pre-norm boundary tensor hits HBM once instead of ~4
-            # times. Exact re-expression; same params either way.
             w2_d0 = pack_conv_kernel_io(
                 w_d.astype(dt), (2, 2), (1, 1), (2, 2), (1, 1))[0]
             w2s_d0 = w2_d0.reshape(2, -1, w2_d0.shape[-1])
-            if b_d is not None and fconv2_ok(y0, w2s_d0):
-                h = fused_pro_conv2(y0, w2s_d0, b_d.astype(dt), 4, "lo")
+            if "d1" in mega and b_d is not None:
+                from .pallas.shell_fused import d1_fused, stem_im2col
+
+                ws = pack_conv_kernel_io(
+                    w_s.astype(dt), (2, 2), (2, 2), (1, 1), (0, 0)
+                )[0].reshape(-1, 4 * self.ngf)
+                h = d1_fused(stem_im2col(x), ws,
+                             jnp.tile(b_s, 4).astype(dt),
+                             w2s_d0, b_d.astype(dt))
             else:
-                hp = instance_norm_act_packed(y0, self.ngf)
-                h = down0_from_packed(hp, w_d.astype(dt), b_d.astype(dt))
-            h = _apply_norm_act(norm_ctor, h, train, self.activation)
-            h = ConvNd(
+                y0 = stem_packed(x, w_s.astype(dt), b_s.astype(dt))
+                # fused stage (TPU): the packed stem output's IN+relu,
+                # the zero pad, and the 2x2-tap down_0 conv in ONE Pallas
+                # kernel with a traffic-floor custom VJP
+                # (nn/pallas/fconv.py). Exact; same params either way.
+                if b_d is not None and fconv2_ok(y0, w2s_d0):
+                    h = fused_pro_conv2(y0, w2s_d0, b_d.astype(dt), 4,
+                                        "lo")
+                else:
+                    hp = instance_norm_act_packed(y0, self.ngf)
+                    h = down0_from_packed(hp, w_d.astype(dt),
+                                          b_d.astype(dt))
+            down1 = ConvNd(
                 features=self.ngf * 4, kernel_size=(3, 3), strides=2,
                 padding=1, use_bias=use_bias, name="down_1",
-            )(h)
-            h = _apply_norm_act(norm_ctor, h, train, self.activation)
+            )
+            if "d2" in mega and use_bias:
+                from .pallas.shell_fused import d2_fused
+
+                w_d1, b_d1 = down1(jnp.zeros((1, 1, 1, self.ngf * 2), dt),
+                                   params_only=True)
+                # fine origin -1 (the k3 zero pad lives inside the
+                # padded cell grid) -> pack starts (0, 0)
+                wd1 = pack_conv_kernel_io(
+                    w_d1.astype(dt), (2, 2), (1, 1), (2, 2), (0, 0)
+                )[0].reshape(2, 16 * self.ngf, 4 * self.ngf)
+                h = d2_fused(h, wd1, b_d1.astype(dt))
+            else:
+                h = _apply_norm_act(norm_ctor, h, train, self.activation)
+                h = down1(h)
+                h = _apply_norm_act(norm_ctor, h, train, self.activation)
             for i in range(self.n_blocks):
                 h = ResnetBlock(
                     dim=self.ngf * 4, ndims=nd, padding_type=pt,
@@ -248,25 +281,46 @@ class ResNet(nn.Module):
                 h = ParameterizedNoiseBlock()(h)
             elif self.add_noise:
                 h = NoiseBlock()(h)
-            y3 = ConvTransposeNd(
+            up0 = ConvTransposeNd(
                 features=self.ngf * 2, kernel_size=(3, 3), strides=2,
                 padding=1, output_padding=1, use_bias=use_bias, name="up_0",
-            )(h)
-            w_u, b_u = ConvTransposeNd(
+            )
+            up1 = ConvTransposeNd(
                 features=self.ngf, kernel_size=(3, 3), strides=2,
                 padding=1, output_padding=1, use_bias=use_bias, name="up_1",
-            )(jnp.zeros((1, 1, 1, y3.shape[-1]), dt), params_only=True)
-            # fused stage: up_0's IN+relu + the subpixel up_1 conv (a
-            # 2x2-tap pad-'hi' stride-1 conv straight to the packed
-            # layout) in one kernel — see the down_0 note above.
-            w2_u1 = up1_packed_kernel(w_u.astype(dt))
-            w2s_u1 = w2_u1.reshape(2, -1, w2_u1.shape[-1])
-            if b_u is not None and fconv2_ok(y3, w2s_u1):
-                b2_u1 = jnp.tile(b_u, 4).astype(dt)
-                hp = fused_pro_conv2(y3, w2s_u1, b2_u1, 1, "hi")
+            )
+            if "u1" in mega and use_bias:
+                from .pallas.fconv import conv2_plain
+                from .pallas.shell_fused import u1_fused
+
+                w_u0, b_u0 = up0(jnp.zeros((1, 1, 1, self.ngf * 4), dt),
+                                 params_only=True)
+                wu0 = up1_packed_kernel(w_u0.astype(dt)).reshape(
+                    2, 8 * self.ngf, 8 * self.ngf)
+                a3 = u1_fused(h, wu0, jnp.tile(b_u0, 4).astype(dt))
+                w_u, b_u = up1(jnp.zeros((1, 1, 1, self.ngf * 2), dt),
+                               params_only=True)
+                w2s_u1 = up1_packed_kernel(w_u.astype(dt)).reshape(
+                    2, 4 * self.ngf, 4 * self.ngf)
+                # up_1 as a plain (no-prologue — u1 owns the IN) fused k2
+                hp = conv2_plain(a3, w2s_u1, jnp.tile(b_u, 4).astype(dt),
+                                 "hi")
             else:
-                h = _apply_norm_act(norm_ctor, y3, train, self.activation)
-                hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
+                y3 = up0(h)
+                w_u, b_u = up1(jnp.zeros((1, 1, 1, y3.shape[-1]), dt),
+                               params_only=True)
+                # fused stage: up_0's IN+relu + the subpixel up_1 conv (a
+                # 2x2-tap pad-'hi' stride-1 conv straight to the packed
+                # layout) in one kernel — see the down_0 note above.
+                w2_u1 = up1_packed_kernel(w_u.astype(dt))
+                w2s_u1 = w2_u1.reshape(2, -1, w2_u1.shape[-1])
+                if b_u is not None and fconv2_ok(y3, w2s_u1):
+                    b2_u1 = jnp.tile(b_u, 4).astype(dt)
+                    hp = fused_pro_conv2(y3, w2s_u1, b2_u1, 1, "hi")
+                else:
+                    h = _apply_norm_act(norm_ctor, y3, train,
+                                        self.activation)
+                    hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
             hp = instance_norm_act_packed(hp, self.ngf)
             w_h, b_h = ConvNd(
                 features=output_nc, kernel_size=(7, 7), padding="valid",
@@ -378,101 +432,6 @@ class ResNet(nn.Module):
             if b1 is not None:
                 h = h + b1.astype(h.dtype)
         return h
-
-
-    def _packed_shell_mega(self, x, train, head_fold, use_bias, output_nc):
-        """The packed shell as four resident Pallas megakernels
-        (nn/pallas/shell_fused.py): D1 (stem+IN+relu+down_0), D2
-        (IN+relu+down_1+IN+relu), blocks, U1 (up_0+IN+relu), U2
-        (up_1+IN+relu), then the packed 7x7 head. Exact re-expression of
-        the packed route below; identical param tree (same modules)."""
-        from .layers import pack_conv_kernel_io
-        from .packed_shell import head_from_packed, up1_packed_kernel
-        from .pallas.fconv import conv2_plain, fconv2_ok
-        from .pallas.instance_norm import instance_norm_act_packed
-        from .pallas.shell_fused import (
-            d1_fused, d2_fused, stem_im2col, u1_fused,
-        )
-
-        nd = self.ndims
-        dt = x.dtype
-        ngf = self.ngf
-        C0, C1, C2 = 4 * ngf, 2 * ngf, 4 * ngf
-
-        w_s, b_s = ConvNd(
-            features=ngf, kernel_size=(7, 7), padding="valid",
-            use_bias=use_bias, name="stem",
-        )(x, params_only=True)
-        w_d0, b_d0 = ConvNd(
-            features=2 * ngf, kernel_size=(3, 3), strides=2, padding=1,
-            use_bias=use_bias, name="down_0",
-        )(jnp.zeros((1, 1, 1, ngf), dt), params_only=True)
-        w_d1, b_d1 = ConvNd(
-            features=4 * ngf, kernel_size=(3, 3), strides=2, padding=1,
-            use_bias=use_bias, name="down_1",
-        )(jnp.zeros((1, 1, 1, 2 * ngf), dt), params_only=True)
-
-        xcol = stem_im2col(x)
-        ws = pack_conv_kernel_io(
-            w_s.astype(dt), (2, 2), (2, 2), (1, 1), (0, 0))[0].reshape(
-                -1, C0)
-        wd0 = pack_conv_kernel_io(
-            w_d0.astype(dt), (2, 2), (1, 1), (2, 2), (1, 1))[0].reshape(
-                2, 2 * C0, C1)
-        # D2's in-kernel packing has fine origin -1 (the k3 zero pad is
-        # inside the padded cell grid) -> starts (0, 0), not down_0's
-        # pre-padded (1, 1)
-        wd1 = pack_conv_kernel_io(
-            w_d1.astype(dt), (2, 2), (1, 1), (2, 2), (0, 0))[0].reshape(
-                2, 2 * 4 * C1, C2)
-
-        y1 = d1_fused(xcol, ws, jnp.tile(b_s, 4).astype(dt),
-                      wd0, b_d0.astype(dt))
-        h = d2_fused(y1, wd1, b_d1.astype(dt))
-
-        for i in range(self.n_blocks):
-            h = ResnetBlock(
-                dim=C2, ndims=nd, padding_type=self.padding_type.lower(),
-                norm=self.norm, use_dropout=self.use_dropout,
-                use_bias=use_bias, activation=self.activation,
-                name=f"block_{i}",
-            )(h, train=train)
-        if self.add_noise == "param":
-            h = ParameterizedNoiseBlock()(h)
-        elif self.add_noise:
-            h = NoiseBlock()(h)
-
-        w_u0, b_u0 = ConvTransposeNd(
-            features=C1, kernel_size=(3, 3), strides=2, padding=1,
-            output_padding=1, use_bias=use_bias, name="up_0",
-        )(jnp.zeros((1, 1, 1, C2), dt), params_only=True)
-        w_u1, b_u1 = ConvTransposeNd(
-            features=ngf, kernel_size=(3, 3), strides=2, padding=1,
-            output_padding=1, use_bias=use_bias, name="up_1",
-        )(jnp.zeros((1, 1, 1, C1), dt), params_only=True)
-
-        wu0 = up1_packed_kernel(w_u0.astype(dt)).reshape(2, 2 * C2, 4 * C1)
-        wu1 = up1_packed_kernel(w_u1.astype(dt)).reshape(2, 2 * C1, C0)
-
-        a3 = u1_fused(h, wu0, jnp.tile(b_u0, 4).astype(dt))
-        # up_1 runs as a plain (no-prologue — U1 owns IN3) fused k2 conv
-        # + the packed IN: the stage's in+out images alone exceed the
-        # resident VMEM budget (shell_fused.py docstring)
-        hp = conv2_plain(a3, wu1, jnp.tile(b_u1, 4).astype(dt), "hi")
-        hp = instance_norm_act_packed(hp, ngf)
-
-        w_h, b_h = ConvNd(
-            features=output_nc, kernel_size=(7, 7), padding="valid",
-            name="head",
-        )(jnp.zeros((1, 1, 1, ngf), dt), params_only=True)
-        if head_fold is not None:
-            V, b1 = head_fold
-            Vf = V.reshape(V.shape[-2:]).astype(jnp.float32)
-            w_h = jnp.einsum("yxim,mo->yxio", w_h.astype(jnp.float32), Vf)
-            b_h = b_h.astype(jnp.float32) @ Vf
-            if b1 is not None:
-                b_h = b_h + b1.astype(jnp.float32)
-        return head_from_packed(hp, w_h.astype(dt), b_h.astype(dt))
 
 
 def resnet_valid_output_shape(input_shape, n_blocks=6, n_downsampling=2):

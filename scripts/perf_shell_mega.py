@@ -30,11 +30,17 @@ def main():
     x = (jax.random.normal(jax.random.PRNGKey(0), (B, S, S, 1),
                            jnp.float32)).astype(DT)
 
-    for disable, tag in (("1", "packed"), ("", "MEGA  ")):
-        if disable:
+    arms = [(None, "packed")] + [
+        (sel, f"mega:{sel:8s}") for sel in
+        (sys.argv[2].split(";") if len(sys.argv) > 2
+         else ["d1", "d2", "u1", "d1,d2,u1"])
+    ]
+    for sel, tag in arms:
+        if sel is None:
             os.environ["RAYGUN_DISABLE_SHELL_FUSED"] = "1"
         else:
             os.environ.pop("RAYGUN_DISABLE_SHELL_FUSED", None)
+            os.environ["RAYGUN_SHELL_MEGA"] = sel
         net = ResNet(ndims=2, input_nc=1, output_nc=1, ngf=64, n_blocks=6,
                      padding_type="same")
         params = jax.jit(lambda: net.init(
@@ -61,6 +67,7 @@ def main():
         print(f"{tag}: apply fwd {tf*1e3:7.2f} ms   fwd+bwd {tb*1e3:7.2f} ms",
               flush=True)
     os.environ.pop("RAYGUN_DISABLE_SHELL_FUSED", None)
+    os.environ.pop("RAYGUN_SHELL_MEGA", None)
 
 
 if __name__ == "__main__":

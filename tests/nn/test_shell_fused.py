@@ -43,7 +43,8 @@ def _run(net, x, key, env):
     return params, y, g
 
 
-FORCE = {"RAYGUN_FORCE_SHELL_FUSED": "1", "RAYGUN_FORCE_PACKED_SHELL": "1"}
+FORCE = {"RAYGUN_FORCE_SHELL_FUSED": "1", "RAYGUN_FORCE_PACKED_SHELL": "1",
+         "RAYGUN_SHELL_MEGA": "d1,d2,u1"}
 PACKED = {"RAYGUN_DISABLE_SHELL_FUSED": "1", "RAYGUN_FORCE_PACKED_SHELL": "1",
           "RAYGUN_FORCE_PALLAS_FCONV": "1"}
 
@@ -120,6 +121,21 @@ def test_shell_fused_value_and_grad_parity(dtype):
             assert np.mean(d) < 0.02, (name, np.mean(d))
             assert np.quantile(d, 0.99) < 0.1, (name, np.quantile(d, 0.99))
             assert d.max() < 0.5, (name, d.max())
+
+
+@pytest.mark.parametrize("sel", ["d1", "d2", "u1", "d1,u1"])
+def test_shell_fused_stage_subsets(sel):
+    """Each RAYGUN_SHELL_MEGA subset must compose exactly with the
+    packed/fconv stages around it (pre-norm boundary contracts)."""
+    net = _make()
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 1),
+                          jnp.float32)
+    key = jax.random.PRNGKey(8)
+    env = dict(FORCE, RAYGUN_SHELL_MEGA=sel)
+    _, y_f, _ = _run(net, x, key, env)
+    _, y_g, _ = _run(net, x, key, PACKED)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_g),
+                               rtol=2e-4, atol=3e-5)
 
 
 def test_shell_fused_gate():
