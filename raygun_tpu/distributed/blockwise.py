@@ -324,6 +324,7 @@ def make_sharded_infer_1d(
     halo: int,
     axis_name: str = "block",
     spatial_axis: int = 0,
+    edge: str = "reflect",
 ):
     """Whole-volume inference as one jitted sharded program.
 
@@ -332,9 +333,19 @@ def make_sharded_infer_1d(
     equal elsewhere — the caller supplies context on non-sharded axes by
     growing the input ROI). Input array is sharded along ``spatial_axis``;
     output comes back sharded the same way.
+
+    ``edge``: what happens at the global volume boundary, where the edge
+    shards' halo context is REFLECTED data, not neighbors.
+    ``"reflect"`` returns those outputs anyway (caller must arrange the
+    read ROI so they fall outside the write region — what
+    :func:`sharded_infer_volume` does); ``"valid"`` crops the ``halo``
+    outermost output voxels per side on ``spatial_axis`` so every
+    returned voxel was computed from real context only.
     """
     from jax import shard_map
 
+    if edge not in ("reflect", "valid"):
+        raise ValueError(f"edge must be 'reflect' or 'valid', got {edge!r}")
     in_spec = P(*([None] * spatial_axis + [axis_name]))
     out_spec = in_spec
     raw, variables = _peel_model_fn(model_fn)
@@ -347,7 +358,20 @@ def make_sharded_infer_1d(
         per_shard, mesh=mesh, in_specs=(P(), in_spec), out_specs=out_spec,
         check_vma=False,
     ))
-    return lambda x: sharded(variables, x)
+
+    def run(x):
+        out = sharded(variables, x)
+        if edge == "valid" and halo > 0:
+            def crop(leaf):
+                sl = [slice(None)] * leaf.ndim
+                sl[spatial_axis] = slice(
+                    halo, leaf.shape[spatial_axis] - halo)
+                return leaf[tuple(sl)]
+
+            out = jax.tree.map(crop, out)
+        return out
+
+    return run
 
 
 def halo_exchange(
@@ -370,6 +394,7 @@ def make_sharded_infer(
     mesh: Mesh,
     halos: Sequence[int],
     spatial_axes: Optional[Sequence[int]] = None,
+    edge: str = "reflect",
 ):
     """N-D mesh-sharded whole-volume inference (one jitted program).
 
@@ -379,11 +404,18 @@ def make_sharded_infer(
     leading axes in mesh order); halo slabs move over ICI; each output
     leaf comes back sharded the same way (per-shard extent = shard extent,
     so the global output has the INPUT's extent along sharded axes — the
-    outer ``halo`` voxels there were computed from edge-reflected context
-    and must be cropped by the caller; :func:`sharded_infer_volume`
-    arranges the read ROI so they fall outside the write region).
+    outer ``halo`` voxels there were computed from edge-reflected context).
+
+    ``edge="reflect"`` returns those edge voxels anyway (caller must crop,
+    or arrange the read ROI so they fall outside the write region — what
+    :func:`sharded_infer_volume` does); ``edge="valid"`` crops each
+    sharded axis by its ``halo`` per side so every returned voxel was
+    computed from real context only.
     """
     from jax import shard_map
+
+    if edge not in ("reflect", "valid"):
+        raise ValueError(f"edge must be 'reflect' or 'valid', got {edge!r}")
 
     names = list(mesh.axis_names)
     if spatial_axes is None:
@@ -413,7 +445,23 @@ def make_sharded_infer(
         per_shard, mesh=mesh, in_specs=(P(), in_spec), out_specs=in_spec,
         check_vma=False,
     ))
-    return lambda x: sharded(variables, x)
+
+    def run(x):
+        out = sharded(variables, x)
+        if edge == "valid":
+            # only exchanged axes (mesh size > 1) carry reflected edge
+            # outputs; size-1 axes consumed caller-grown real context
+            def crop(leaf):
+                sl = [slice(None)] * leaf.ndim
+                for h, n_, ax in zip(halos, names, spatial_axes):
+                    if h > 0 and mesh.shape[n_] > 1:
+                        sl[ax] = slice(h, leaf.shape[ax] - h)
+                return leaf[tuple(sl)]
+
+            out = jax.tree.map(crop, out)
+        return out
+
+    return run
 
 
 class SuperBlockRunner:

@@ -152,6 +152,59 @@ class TestHaloExchange:
         ref = model_fn(xp)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
+    def test_sharded_infer_edge_valid(self, net_and_params):
+        """edge='valid' returns ONLY real-context voxels: exact equality
+        (including the outermost rows) with the unpadded single-device
+        valid computation — no reflected context anywhere."""
+        net, params = net_and_params
+        n = 8
+        mesh = make_mesh((n,), ("block",))
+        Z, Y, X = 32, 12, 12
+        x = jnp.asarray(
+            np.random.default_rng(5).random((Z, Y, X, 1)).astype(np.float32)
+        )
+
+        def model_fn(v):
+            v = jnp.pad(v, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+            return net.apply({"params": params}, v[None])[0]
+
+        infer = make_sharded_infer_1d(
+            model_fn, mesh, halo=2, spatial_axis=0, edge="valid")
+        out = infer(x)
+        assert out.shape == (Z - 4, Y, X, 3)
+        ref = model_fn(x)  # valid on z: (Z-4, Y, X, 3), real context only
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        with pytest.raises(ValueError, match="edge"):
+            make_sharded_infer_1d(model_fn, mesh, halo=2, edge="wrap")
+
+    def test_sharded_infer_nd_edge_valid(self, net_and_params):
+        """N-D edge='valid': exchanged axes crop, size-1 mesh axes don't."""
+        from raygun_tpu.distributed.blockwise import make_sharded_infer
+
+        net, params = net_and_params
+        import jax as _jax
+
+        mesh = make_mesh((4, 1), ("bz", "by"),
+                         devices=_jax.devices()[:4])
+        Z, Y, X = 16, 12, 12
+        x = jnp.asarray(
+            np.random.default_rng(6).random((Z, Y, X, 1)).astype(np.float32)
+        )
+
+        def model_fn(v):
+            # valid on z only; y/x reflect-padded inside
+            v = jnp.pad(v, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+            return net.apply({"params": params}, v[None])[0]
+
+        infer = make_sharded_infer(
+            model_fn, mesh, halos=(2, 0), spatial_axes=(0, 1), edge="valid")
+        out = infer(x)
+        assert out.shape == (Z - 4, Y, X, 3)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(model_fn(x)), atol=1e-5)
+
 
 class TestShardedInferVolume:
     """N-D mesh-sharded whole-volume inference (CLI 'sharded' path) is
