@@ -159,18 +159,30 @@ class BaseSystem:
     # -- device mesh ------------------------------------------------------
     def get_mesh(self):
         """Build the training mesh from the ``mesh`` config key (SURVEY §2.3:
-        data parallelism maps to pjit batch sharding over a named mesh).
+        data parallelism maps to pjit batch sharding over a named mesh;
+        BASELINE north star: spatial sharding with halo exchange over ICI).
 
         Accepted forms::
 
-            "mesh": null            -> single device (default)
-            "mesh": 8               -> 8-way data parallel
-            "mesh": "auto"          -> all local devices
-            "mesh": {"data": 8}     -> explicit axis dict (only "data" today)
+            "mesh": null                  -> single device (default)
+            "mesh": 8                     -> 8-way data parallel
+            "mesh": "auto"                -> all local devices (data parallel)
+            "mesh": {"data": 8}           -> explicit axis dict
+            "mesh": {"space": 8}          -> 8-way SPATIAL sharding: the
+                                             training crop's leading spatial
+                                             axis is sharded; XLA's SPMD
+                                             partitioner inserts conv halo
+                                             exchanges (collective-permute
+                                             over ICI) at every level, so
+                                             activation memory scales 1/N
+                                             with zero recompute — the
+                                             training analog of
+                                             ``sharded_infer_volume``
+            "mesh": {"data": 2, "space": 4} -> both (2x4 device grid)
 
-        Returns a ``jax.sharding.Mesh`` with axis "data", or None. The batch
-        axis is sharded over "data"; params are replicated and XLA inserts
-        the gradient all-reduce (ICI collectives on a TPU slice).
+        Returns a ``jax.sharding.Mesh`` with axes ("data",) or
+        ("data", "space"), or None. The batch axis is sharded over "data";
+        params are replicated and XLA inserts the gradient all-reduce.
         """
         if getattr(self, "_mesh_cache", None) is not None:
             return self._mesh_cache
@@ -180,24 +192,61 @@ class BaseSystem:
         from jax.sharding import Mesh
 
         devices = jax.devices()
+        n_space = 1
         if spec == "auto":
-            n = len(devices)
+            n_data = len(devices)
         elif isinstance(spec, dict):
-            n = int(spec.get("data", len(devices)))
+            unknown = set(spec) - {"data", "space"}
+            if unknown:
+                raise ValueError(
+                    f"unknown mesh axes {sorted(unknown)}; supported: "
+                    "'data' (batch parallel), 'space' (spatial sharding)"
+                )
+            n_space = int(spec.get("space", 1))
+            d = spec.get("data")
+            n_data = int(d) if d is not None else (
+                len(devices) if n_space == 1 else 1
+            )
         else:
-            n = int(spec)
+            n_data = int(spec)
+        n = n_data * n_space
         if n <= 1:
             return None
         if n > len(devices):
             raise ValueError(
                 f"mesh wants {n} devices, only {len(devices)} visible"
             )
-        if self.batch_size and int(self.batch_size) % n != 0:
+        if self.batch_size and n_data > 1 and int(self.batch_size) % n_data != 0:
             raise ValueError(
-                f"batch_size {self.batch_size} not divisible by mesh size {n}"
+                f"batch_size {self.batch_size} not divisible by mesh 'data' "
+                f"axis size {n_data}"
             )
-        self._mesh_cache = Mesh(np.asarray(devices[:n]), ("data",))
+        if n_space > 1:
+            self._mesh_cache = Mesh(
+                np.asarray(devices[:n]).reshape(n_data, n_space),
+                ("data", "space"),
+            )
+        else:
+            self._mesh_cache = Mesh(np.asarray(devices[:n]), ("data",))
         return self._mesh_cache
+
+    def mesh_space_size(self) -> int:
+        """Size of the mesh's spatial axis (1 when absent / no mesh)."""
+        mesh = self.get_mesh()
+        if mesh is None:
+            return 1
+        return int(dict(mesh.shape).get("space", 1))
+
+    def batch_pspec(self):
+        """PartitionSpec for device batches: batch axis over 'data', and —
+        when the mesh has a 'space' axis — the leading spatial axis over
+        'space' (XLA SPMD propagates the spatial sharding through the net,
+        inserting halo exchanges at each conv)."""
+        from jax.sharding import PartitionSpec as P
+
+        if self.mesh_space_size() > 1:
+            return P("data", "space")
+        return P("data")
 
     def shard_batch_keys(self, keys):
         """Constrain per-sample PRNG keys to the data axis so XLA partitions

@@ -120,6 +120,18 @@ class CycleGAN(BaseSystem):
         self.gan_mode = self.loss_kwargs.get("gan_mode", "lsgan")
         self.side_length = int(self.side_length)
 
+    def get_mesh(self):
+        mesh = super().get_mesh()
+        if mesh is not None and dict(mesh.shape).get("space", 1) > 1:
+            raise ValueError(
+                "mesh {'space': N} (spatial activation sharding) is supported "
+                "for the MTLSD/ACLSD 3D systems, whose training crops hit the "
+                "HBM ceiling; the CycleGAN step routes through resident Pallas "
+                "megakernels that XLA's SPMD partitioner cannot shard "
+                "spatially. Use data parallelism (mesh: N) here."
+            )
+        return mesh
+
     # -- networks / model ---------------------------------------------------
     def setup_networks(self):
         # running-stat norms are not plumbed through the 3-phase functional

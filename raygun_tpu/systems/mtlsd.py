@@ -461,11 +461,11 @@ class MTLSD(BaseSystem):
         batch = jax.vmap(self._make_sample)(keys)
         mesh = self.get_mesh()
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
 
             batch = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P("data"))
+                    x, NamedSharding(mesh, self.batch_pspec())
                 ),
                 batch,
             )
@@ -483,9 +483,9 @@ class MTLSD(BaseSystem):
             out[k] = v
         mesh = self.get_mesh()
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
 
-            sh = NamedSharding(mesh, P("data"))
+            sh = NamedSharding(mesh, self.batch_pspec())
             return {k: jax.device_put(v, sh) for k, v in out.items()}
         return {k: jnp.asarray(v) for k, v in out.items()}
 
@@ -500,11 +500,11 @@ class MTLSD(BaseSystem):
                 batch = jax.vmap(self._augment_targets)(keys, crops)
                 mesh = self.get_mesh()
                 if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    from jax.sharding import NamedSharding
 
                     batch = jax.tree.map(
                         lambda x: jax.lax.with_sharding_constraint(
-                            x, NamedSharding(mesh, P("data"))
+                            x, NamedSharding(mesh, self.batch_pspec())
                         ),
                         batch,
                     )
@@ -560,6 +560,24 @@ class MTLSD(BaseSystem):
         use_lsds = bool(self.lsd_kwargs)
         use_bn = bool(self.batch_stats)
 
+        # spatial mesh axis (mesh: {"space": N}): the batch constraints in
+        # make_batch shard the crop's leading spatial axis; anchoring the
+        # model OUTPUTS to the same spec makes XLA's SPMD partitioner keep
+        # the whole forward+backward spatially sharded (conv halo exchanges
+        # over ICI at every level) instead of gathering — activation memory
+        # scales 1/N. Training analog of sharded_infer_volume (BASELINE
+        # north star "shard_map over a TPU mesh with halo exchange").
+        sp_sharding = None
+        if self.mesh_space_size() > 1:
+            if self.grad_slabs:
+                raise ValueError(
+                    "grad_slabs and mesh {'space': N} both bound activation "
+                    "memory (sequential slabs vs spatial sharding); use one"
+                )
+            from jax.sharding import NamedSharding
+
+            sp_sharding = NamedSharding(self.get_mesh(), self.batch_pspec())
+
         if self.grad_slabs:
             # slab-wise backward (VERDICT r2 #4): bounded-memory training at
             # crops whose monolithic backward exceeds HBM (or the compiler).
@@ -589,6 +607,10 @@ class MTLSD(BaseSystem):
                 else:
                     affs, lsds = model.apply(variables, batch["raw"], train=True)
                     new_stats = stats
+                if sp_sharding is not None:
+                    affs = jax.lax.with_sharding_constraint(affs, sp_sharding)
+                    if use_lsds:
+                        lsds = jax.lax.with_sharding_constraint(lsds, sp_sharding)
                 aff_loss = weighted_mse(affs, batch["gt_affs"], batch["affs_weights"])
                 metrics = {"Affinities": aff_loss}
                 total = aff_loss
