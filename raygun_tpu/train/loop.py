@@ -346,7 +346,11 @@ class Trainer:
         if self._profiling:
             jax.profiler.stop_trace()
             self._profiling = False
-        if self.save_every and self.num_epochs % self.save_every != 0:
+        if (
+            self.save_every
+            and self.num_epochs % self.save_every != 0
+            and self.num_epochs > it0  # no-op runs (resume past the end)
+        ):                             # must not write a LOWER checkpoint
             self.save(self.num_epochs)
         if self.writer is not None:
             self.writer.flush()
