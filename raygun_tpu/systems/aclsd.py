@@ -102,6 +102,20 @@ class ACLSD(MTLSD):
         model, tx = self.model, self.tx
         ac_shape = self.ac_output_shape
 
+        if self.grad_slabs:
+            raise ValueError(
+                "grad_slabs (slab-wise backward) is not supported for ACLSD "
+                "(two chained U-Nets); use mesh {'space': N} to bound "
+                "activation memory instead"
+            )
+        # spatial mesh axis: anchor model outputs so XLA SPMD keeps the
+        # whole fwd+bwd spatially sharded (see MTLSD.make_train_step)
+        sp_sharding = None
+        if self.mesh_space_size() > 1:
+            from jax.sharding import NamedSharding
+
+            sp_sharding = NamedSharding(self.get_mesh(), self.batch_pspec())
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, key):
             batch = self.make_batch(key)
@@ -110,6 +124,11 @@ class ACLSD(MTLSD):
                 affs, lsds, affs_ac = model.apply(
                     {"params": params}, batch["raw"], train=True
                 )
+                if sp_sharding is not None:
+                    affs = jax.lax.with_sharding_constraint(affs, sp_sharding)
+                    lsds = jax.lax.with_sharding_constraint(lsds, sp_sharding)
+                    affs_ac = jax.lax.with_sharding_constraint(
+                        affs_ac, sp_sharding)
                 aff_loss = weighted_mse(affs, batch["gt_affs"], batch["affs_weights"])
                 lsd_loss = weighted_mse(lsds, batch["gt_lsds"], batch["lsds_weights"])
                 gt_ac = center_crop(batch["gt_affs"], ac_shape)

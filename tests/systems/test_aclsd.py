@@ -63,3 +63,40 @@ def test_aclsd_builds_and_steps(aclsd_config):
     state, metrics = system.trainer.step_fn(state, jax.random.PRNGKey(0))
     for k in ("Affinities", "LSDs", "AC_Affinities"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_aclsd_spatial_mesh_matches_single_device(aclsd_config, tmp_path):
+    """mesh {'space': 8}: ACLSD's chained-U-Net step reproduces the
+    single-device result with the crop's z axis SPMD-sharded (same
+    contract as tests/distributed/test_mesh_training.py for MTLSD)."""
+    results = {}
+    for mesh, tag in ((None, "one"), ({"space": 8}, "sp8")):
+        conf = json.loads(open(aclsd_config).read())
+        conf["mesh"] = mesh
+        conf["model_path"] = str(tmp_path / f"models_{tag}") + "/"
+        cfg = tmp_path / f"conf_{tag}.json"
+        cfg.write_text(json.dumps(conf))
+        system = load_system(str(cfg))
+        system.build_system()
+        state, metrics = system.trainer.step_fn(
+            system.state, jax.random.PRNGKey(3)
+        )
+        results[tag] = (
+            float(metrics["loss"]),
+            np.asarray(jax.tree.leaves(jax.device_get(state.params))[0]),
+        )
+    (l1, p1), (l8, p8) = results["one"], results["sp8"]
+    assert np.isfinite(l1)
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    np.testing.assert_allclose(p1, p8, rtol=1e-4, atol=1e-6)
+
+
+def test_aclsd_grad_slabs_rejected(aclsd_config, tmp_path):
+    conf = json.loads(open(aclsd_config).read())
+    conf["grad_slabs"] = 2
+    conf["model_path"] = str(tmp_path / "models_gs") + "/"
+    cfg = tmp_path / "conf_gs.json"
+    cfg.write_text(json.dumps(conf))
+    system = load_system(str(cfg))
+    with pytest.raises(ValueError, match="grad_slabs"):
+        system.build_system()
