@@ -77,6 +77,42 @@ def test_unet_export_strict_load_and_parity(ref_networks):
                                atol=2e-4)
 
 
+def test_residualunet_roundtrip_parity(ref_networks):
+    """ResidualUNet (global input->output residual, final-flag ConvPass):
+    same key layout as UNet — import AND export against the reference."""
+    from raygun_tpu.nn.unet import ResidualUNet
+
+    tnet = ref_networks["ResidualUNet"](
+        input_nc=1, ngf=4, fmap_inc_factor=2,
+        downsample_factors=[(2, 2, 2), (2, 2, 2)],
+    ).eval()
+    ours = ResidualUNet(input_nc=1, ngf=4, fmap_inc_factor=2,
+                        downsample_factors=((2, 2, 2), (2, 2, 2)))
+    x = np.random.default_rng(7).standard_normal(
+        (1, 1, 60, 60, 60), np.float32)
+    xj = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = jax.device_get(
+        ours.init(jax.random.PRNGKey(8), xj, train=False)["params"])
+
+    # import: torch weights -> ours, forwards match
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = import_network(sd, template)
+    with torch.no_grad():
+        yt = tnet(torch.from_numpy(x)).numpy()
+    yj = ours.apply({"params": params}, xj, train=False)
+    np.testing.assert_allclose(np.moveaxis(yt, 1, -1), np.asarray(yj),
+                               atol=2e-4)
+
+    # export: fresh our-side weights -> torch strict load, forwards match
+    sd2 = export_network(template)
+    tnet.load_state_dict(_to_torch(sd2), strict=True)
+    with torch.no_grad():
+        yt2 = tnet(torch.from_numpy(x)).numpy()
+    yj2 = ours.apply({"params": template}, xj, train=False)
+    np.testing.assert_allclose(np.moveaxis(yt2, 1, -1), np.asarray(yj2),
+                               atol=2e-4)
+
+
 def test_discriminator_export_strict_load_and_parity(ref_networks):
     import functools
 

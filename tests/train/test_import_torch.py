@@ -105,8 +105,10 @@ def ref_networks(tmp_path_factory):
     try:
         import raygun.torch.networks.ResNet as R
         import raygun.torch.networks.UNet as U
+        import raygun.torch.networks.ResidualUNet as RU
         import raygun.torch.networks.NLayerDiscriminator as D
         yield {"ResNet": R.ResNet, "UNet": U.UNet,
+               "ResidualUNet": RU.ResidualUNet,
                "NLayerDiscriminator3D": D.NLayerDiscriminator3D}
     finally:
         sys.path.remove(str(root))
