@@ -43,11 +43,26 @@ class ResnetBlock(nn.Module):
     activation: Union[str, Callable, None] = "relu"
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 params_only: bool = False) -> Array:
         act = get_activation(self.activation)
         norm_ctor = make_norm(self.norm)
         pt = self.padding_type.lower()
         nd = self.ndims
+
+        if params_only:
+            # chain route (_apply_resnet_blocks): hand back this block's
+            # conv params, created through the SAME ConvNd modules every
+            # other route uses — checkpoints swap freely
+            w1, b1 = ConvNd(
+                features=self.dim, kernel_size=(3,) * nd,
+                padding="valid", use_bias=self.use_bias, name="conv1",
+            )(x, params_only=True)
+            w2, b2 = ConvNd(
+                features=self.dim, kernel_size=(3,) * nd,
+                padding="valid", use_bias=self.use_bias, name="conv2",
+            )(x, params_only=True)
+            return w1, b1, w2, b2
 
         # whole-block fused Pallas route (TPU): conv+IN+relu+conv+IN+skip
         # in slab-resident VMEM — 2.0 -> 0.69 ms fwd / 5.1 -> 2.8 ms
@@ -119,6 +134,46 @@ class ResnetBlock(nn.Module):
         if norm_ctor is not None:
             h = _apply_norm(norm_ctor, h, train)
         return x + h
+
+
+def _apply_resnet_blocks(h, blocks, train, nd, pt, norm_ctor, activation,
+                         use_dropout, use_bias, dim):
+    """Apply the generator's resnet blocks, chaining their BACKWARD into
+    one resident Pallas kernel when the family and shapes allow
+    (nn/pallas/resblock_chain_bwd.py: removes the 5 inter-block cotangent
+    HBM round-trips of the per-block route — bit-exact, same param tree).
+    Opt-in via RAYGUN_RBCHAIN=1 until the step-level A/B lands."""
+    import os
+
+    if (
+        os.environ.get("RAYGUN_RBCHAIN") == "1"
+        and len(blocks) >= 2
+        and nd == 2
+        and pt in ("reflect", "same")
+        and norm_ctor is InstanceNorm
+        and isinstance(activation, str)
+        and activation.lower() == "relu"
+        and not use_dropout
+        and use_bias
+        and h.shape[-1] == dim
+    ):
+        from .pallas.resblock import resblock_fused_ok
+        from .pallas.resblock_chain_bwd import (
+            rb_chain_bwd_ok,
+            resblock_chain_bwdfused,
+        )
+
+        if resblock_fused_ok(h) and rb_chain_bwd_ok(h, len(blocks)):
+            dt = h.dtype
+            pars = [blk(h, params_only=True) for blk in blocks]
+            w1s = jnp.stack([p[0] for p in pars]).astype(dt)
+            b1s = jnp.stack([p[1] for p in pars]).astype(dt)
+            w2s = jnp.stack([p[2] for p in pars]).astype(dt)
+            b2s = jnp.stack([p[3] for p in pars]).astype(dt)
+            return resblock_chain_bwdfused(h, w1s, b1s, w2s, b2s)
+    for blk in blocks:
+        h = blk(h, train=train)
+    return h
 
 
 class ResNet(nn.Module):
@@ -270,13 +325,16 @@ class ResNet(nn.Module):
                 h = _apply_norm_act(norm_ctor, h, train, self.activation)
                 h = down1(h)
                 h = _apply_norm_act(norm_ctor, h, train, self.activation)
-            for i in range(self.n_blocks):
-                h = ResnetBlock(
+            h = _apply_resnet_blocks(
+                h,
+                [ResnetBlock(
                     dim=self.ngf * 4, ndims=nd, padding_type=pt,
                     norm=self.norm, use_dropout=self.use_dropout,
                     use_bias=use_bias, activation=self.activation,
                     name=f"block_{i}",
-                )(h, train=train)
+                ) for i in range(self.n_blocks)],
+                train, nd, pt, norm_ctor, self.activation,
+                self.use_dropout, use_bias, self.ngf * 4)
             if self.add_noise == "param":
                 h = ParameterizedNoiseBlock()(h)
             elif self.add_noise:
@@ -379,8 +437,9 @@ class ResNet(nn.Module):
                 h = act(h)
 
         mult = 2**self.n_downsampling
-        for i in range(self.n_blocks):
-            h = ResnetBlock(
+        h = _apply_resnet_blocks(
+            h,
+            [ResnetBlock(
                 dim=self.ngf * mult,
                 ndims=nd,
                 padding_type=pt,
@@ -389,7 +448,9 @@ class ResNet(nn.Module):
                 use_bias=use_bias,
                 activation=self.activation,
                 name=f"block_{i}",
-            )(h, train=train)
+            ) for i in range(self.n_blocks)],
+            train, nd, pt, norm_ctor, self.activation,
+            self.use_dropout, use_bias, self.ngf * mult)
 
         if self.add_noise == "param":
             h = ParameterizedNoiseBlock()(h)
