@@ -76,6 +76,17 @@ def _chain_bwd_vmem_bytes(B, H, W, C, SH, itemsize):
         + taps + ap3 + 4 * 1024 * 1024
 
 
+def _batch_chunk(B, H, W, C, SH, itemsize) -> int:
+    """Largest per-call batch whose working set fits: batches beyond it
+    dispatch as multiple kernel calls (dx concat is exact; the dw chunk
+    partials add once per chunk — the same fp32 reassociation class as
+    batching sibling applies, systems/cyclegan.py)."""
+    for bc in range(B, 0, -1):
+        if _chain_bwd_vmem_bytes(bc, H, W, C, SH, itemsize) <= _VMEM_CAP:
+            return bc
+    return 0
+
+
 def rb_chain_bwd_ok(x: Array, n_blocks: int) -> bool:
     if os.environ.get("RAYGUN_DISABLE_PALLAS_RBCHAINBWD"):
         return False
@@ -87,7 +98,7 @@ def rb_chain_bwd_ok(x: Array, n_blocks: int) -> bool:
     SH = _bwd_slab(H, W, C)
     if not SH:
         return False
-    if _chain_bwd_vmem_bytes(B, H, W, C, SH, 2) > _VMEM_CAP:
+    if not _batch_chunk(B, H, W, C, SH, 2):
         return False
     if H * W * C * B < (1 << 20):
         return False
@@ -288,10 +299,27 @@ def _chain_bwd_kernel(SH, H, W, C, N, B,
 
 def rb_chain_bwd(x, outs, y1s, y2s, m1s, r1s, m2s, r2s, w1s, w2s, dout):
     """(dx, dw1s, db1s, dw2s, db2s) of N chained fused resblocks, one
-    resident kernel. Stacked residuals: ``outs``/``y1s``/``y2s`` are
-    (N, B, H, W, C); stats (N, B, C); weights (N, 3, 3, C, C)."""
+    resident kernel (per batch chunk — see :func:`_batch_chunk`). Stacked
+    residuals: ``outs``/``y1s``/``y2s`` are (N, B, H, W, C); stats
+    (N, B, C); weights (N, 3, 3, C, C)."""
     N, B, H, W, C = y1s.shape
     SH = _bwd_slab(H, W, C)
+    bc = _batch_chunk(B, H, W, C, SH, x.dtype.itemsize)
+    if bc < B:
+        # images are independent in the backward: run the kernel per
+        # batch chunk; dx concatenates exactly, dw/db partials add once
+        # per chunk (fp32 reassociation only)
+        parts = [
+            rb_chain_bwd(
+                x[s:s + bc], outs[:, s:s + bc], y1s[:, s:s + bc],
+                y2s[:, s:s + bc], m1s[:, s:s + bc], r1s[:, s:s + bc],
+                m2s[:, s:s + bc], r2s[:, s:s + bc], w1s, w2s,
+                dout[s:s + bc])
+            for s in range(0, B, bc)
+        ]
+        dx = jnp.concatenate([p[0] for p in parts], axis=0)
+        grads = [sum(p[i] for p in parts) for i in range(1, 5)]
+        return (dx, *grads)
     rev = lambda t: N - 1 - t  # noqa: E731 — block order is reversed
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)

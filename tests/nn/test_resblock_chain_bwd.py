@@ -121,6 +121,38 @@ def test_chain_op_vjp_bitexact_vs_sequential_fused_route(monkeypatch):
                                       err_msg=name)
 
 
+def test_chunked_batch_dispatch(monkeypatch):
+    """Batches beyond the VMEM chunk run as multiple kernel calls: dx is
+    bit-exact per image; dw/db partials add once per chunk (fp32
+    reassociation only — same class as sibling-apply batching)."""
+    monkeypatch.setattr(rcb, "_batch_chunk", lambda *a: 1)
+    x, w1s, b1s, w2s, b2s = _mk(seed=3)
+    with pltpu.force_tpu_interpret_mode():
+        outs, y1s, y2s, m1s, r1s, m2s, r2s = _chain_residuals(
+            x, w1s, b1s, w2s, b2s)
+        dout = (jax.random.normal(jax.random.PRNGKey(7), x.shape)
+                ).astype(x.dtype)
+        dx_c, dw1_c, db1_c, dw2_c, db2_c = rcb.rb_chain_bwd(
+            x, outs, y1s, y2s, m1s, r1s, m2s, r2s, w1s, w2s, dout)
+
+        d = dout
+        dw1_p, dw2_p = [], []
+        for i in range(N - 1, -1, -1):
+            xi = x if i == 0 else outs[i - 1]
+            d, dW1, _, dW2, _ = rb_bwd_fused(
+                xi, w1s[i], w2s[i], y1s[i], y2s[i],
+                m1s[i], r1s[i], m2s[i], r2s[i], d)
+            dw1_p.append(dW1); dw2_p.append(dW2)
+
+    np.testing.assert_array_equal(np.asarray(dx_c, np.float32),
+                                  np.asarray(d, np.float32))
+    for got, want in ((dw1_c, dw1_p), (dw2_c, dw2_p)):
+        want = np.asarray(jnp.stack(want[::-1]))
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, want, rtol=3e-5,
+                                   atol=3e-5 * max(1.0, np.abs(want).max()))
+
+
 def test_model_route_same_tree_values_and_grads(monkeypatch):
     """ResNet with RAYGUN_RBCHAIN=1 (gates forced on CPU) produces the
     same param tree, outputs, and gradients as the unrouted model."""
