@@ -18,9 +18,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 from raygun_tpu.nn.pallas.resblock import resblock_fused
 from raygun_tpu.nn.pallas.resblock_chain import resblock_chain_fused
+from raygun_tpu.nn.pallas.resblock_chain_bwd import resblock_chain_bwdfused
 
 N = 6
-B, H, W, C = 3, int(os.environ.get("SIDE", "128")), 128, 256
+B = int(os.environ.get("BATCH", "3"))  # 6 = the sibling-batched G2 chain
+H, W, C = int(os.environ.get("SIDE", "128")), 128, 256
 ITERS = 8
 
 
@@ -88,10 +90,15 @@ def main():
     t_cf = bench("chain fwd", fwd_only(resblock_chain_fused), params, k)
     t_sb = bench("per-block fwd+bwd", fwdbwd(seq_chain), params, k)
     t_cb = bench("chain fwd+bwd", fwdbwd(resblock_chain_fused), params, k)
+    # chain-resident BACKWARD (per-block fwd kernels + one bwd kernel)
+    t_nb = bench("chainbwd fwd+bwd", fwdbwd(resblock_chain_bwdfused),
+                 params, k)
     print(f"\nfwd: {t_sf*1e3:.3f} -> {t_cf*1e3:.3f} ms "
           f"({(t_sf-t_cf)*1e3:+.3f}); "
           f"fwd+bwd: {t_sb*1e3:.3f} -> {t_cb*1e3:.3f} ms "
-          f"({(t_sb-t_cb)*1e3:+.3f})")
+          f"({(t_sb-t_cb)*1e3:+.3f}); "
+          f"chainbwd: {t_sb*1e3:.3f} -> {t_nb*1e3:.3f} ms "
+          f"({(t_sb-t_nb)*1e3:+.3f})")
 
 
 if __name__ == "__main__":
