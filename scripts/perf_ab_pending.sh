@@ -1,0 +1,18 @@
+#!/bin/bash
+# One-session step-level A/B of every pending routing arm (same-session
+# baseline per CLAUDE.md discipline). Run on the real chip, ONE at a time.
+set -u
+cd "$(dirname "$0")/.."
+run() {
+  echo "=== $1 ==="
+  shift
+  env "$@" FULL_ONLY=1 timeout 900 python scripts/perf_round3_map.py 2>&1 \
+    | grep -v WARNING | tail -3
+}
+run "baseline (committed routes)"
+run "rbchain (chain-resident resblock backward)" RAYGUN_RBCHAIN=1
+run "shell-mega d1" RAYGUN_SHELL_MEGA=d1
+run "shell-mega d2" RAYGUN_SHELL_MEGA=d2
+run "shell-mega u1" RAYGUN_SHELL_MEGA=u1
+run "rbchain + best-mega placeholder (edit after arms)" RAYGUN_RBCHAIN=1
+run "baseline re-measure (drift check)"
