@@ -96,8 +96,16 @@ def resblock_chain_ok(x: Array, n_blocks: int) -> bool:
 # the forward chain kernel
 # ---------------------------------------------------------------------------
 
-def _chain_kernel(SH, H, W, C, eps, x_ref, w_ref, b_ref,
-                  outs_ref, y1_ref, y2_ref, sums_ref, cur, ap3):
+def _chain_kernel(SH, H, W, C, eps, save_res, n_blocks, *refs):
+    """The N-block forward chain. ``save_res``: write the backward's
+    residuals (outs/y1/y2/sums) as outputs (training); False keeps y1/y2
+    in scratch and writes ONLY the final activation (inference — the
+    per-block residual writes are the forward's main HBM traffic)."""
+    if save_res:
+        (x_ref, w_ref, b_ref, outs_ref, y1_ref, y2_ref, sums_ref,
+         cur, ap3) = refs
+    else:
+        (x_ref, w_ref, b_ref, out_ref, cur, y1_scr, y2_scr, ap3) = refs
     i = pl.program_id(1)
     n_slabs = H // SH
     n = jnp.float32(H * W)
@@ -118,9 +126,34 @@ def _chain_kernel(SH, H, W, C, eps, x_ref, w_ref, b_ref,
         return jnp.concatenate(
             [rows[:, 1:2], rows, rows[:, -2:-1]], axis=1)
 
-    def conv_pass(get_rows, w_idx, write_ref, stats=None):
+    if save_res:
+        def write_y1(sl, v):
+            y1_ref[0, 0, sl] = v
+
+        def read_y1(r0, k):
+            return y1_ref[0, 0, pl.ds(r0, k)]
+
+        def write_y2(sl, v):
+            y2_ref[0, 0, sl] = v
+
+        def read_y2(sl):
+            return y2_ref[0, 0, sl]
+    else:
+        def write_y1(sl, v):
+            y1_scr[sl] = v
+
+        def read_y1(r0, k):
+            return y1_scr[pl.ds(r0, k)]
+
+        def write_y2(sl, v):
+            y2_scr[sl] = v
+
+        def read_y2(sl):
+            return y2_scr[sl]
+
+    def conv_pass(get_rows, w_idx, write, stats=None):
         """conv3x3(reflect(maybe IN+relu(rows))) + bias over all slabs,
-        writing ``write_ref`` and returning fp32 (sum, sumsq) of the
+        writing via ``write`` and returning fp32 (sum, sumsq) of the
         rounded output — slab order identical to resblock._conv_stats."""
         bias = b_ref[0, w_idx][None, :].astype(jnp.float32)
 
@@ -134,7 +167,7 @@ def _chain_kernel(SH, H, W, C, eps, x_ref, w_ref, b_ref,
             ap = ap.astype(cur.dtype)
             acc = _conv9(ap, ap3, w_ref.at[0, w_idx], SH, W, C) + bias
             yb = acc.astype(cur.dtype)
-            write_ref[0, 0, pl.ds(s * SH, SH)] = yb.reshape(SH, W, C)
+            write(pl.ds(s * SH, SH), yb.reshape(SH, W, C))
             yf = yb.astype(jnp.float32)
             return (ssum + jnp.sum(yf, axis=0, keepdims=True),
                     ssq + jnp.sum(yf * yf, axis=0, keepdims=True))
@@ -149,26 +182,32 @@ def _chain_kernel(SH, H, W, C, eps, x_ref, w_ref, b_ref,
 
     # conv1 from the resident activation
     ssum1, ssq1 = conv_pass(
-        lambda r0, k: cur[pl.ds(r0, k)], 0, y1_ref)
-    sums_ref[0, 0, 0, 0] = ssum1[0]
-    sums_ref[0, 0, 0, 1] = ssq1[0]
+        lambda r0, k: cur[pl.ds(r0, k)], 0, write_y1)
+    if save_res:
+        sums_ref[0, 0, 0, 0] = ssum1[0]
+        sums_ref[0, 0, 0, 1] = ssq1[0]
     m1, r1 = moments(ssum1, ssq1)
 
     # IN+relu(y1) -> conv2, prologue-normalized per slab
-    ssum2, ssq2 = conv_pass(
-        lambda r0, k: y1_ref[0, 0, pl.ds(r0, k)], 1, y2_ref,
-        stats=(m1, r1))
-    sums_ref[0, 0, 1, 0] = ssum2[0]
-    sums_ref[0, 0, 1, 1] = ssq2[0]
+    ssum2, ssq2 = conv_pass(read_y1, 1, write_y2, stats=(m1, r1))
+    if save_res:
+        sums_ref[0, 0, 1, 0] = ssum2[0]
+        sums_ref[0, 0, 1, 1] = ssq2[0]
     m2, r2 = moments(ssum2, ssq2)
 
     # tail: out = skip + IN(y2) (matches instance_norm._normalize_add_kernel)
     def tail(s, _):
         sl = pl.ds(s * SH, SH)
-        y2f = y2_ref[0, 0, sl].astype(jnp.float32)
+        y2f = read_y2(sl).astype(jnp.float32)
         xn = (y2f - m2[None]) * r2[None]
         o = (cur[sl].astype(jnp.float32) + xn).astype(cur.dtype)
-        outs_ref[0, 0, sl] = o
+        if save_res:
+            outs_ref[0, 0, sl] = o
+        else:
+            @pl.when(i == n_blocks - 1)
+            def _():
+                out_ref[0, sl] = o
+
         cur[sl] = o
         return 0
 
@@ -189,7 +228,7 @@ def _chain_forward(x, w1s, b1s, w2s, b2s, eps):
     img = pl.BlockSpec((1, 1, H, W, C), lambda b, i: (i, b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     outs, y1s, y2s, sums = pl.pallas_call(
-        functools.partial(_chain_kernel, SH, H, W, C, eps),
+        functools.partial(_chain_kernel, SH, H, W, C, eps, True, N),
         grid=(B, N),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
@@ -224,6 +263,50 @@ def _chain_forward(x, w1s, b1s, w2s, b2s, eps):
         interpret=_interpret(),
     )(x, w3, bs)
     return outs, y1s, y2s, sums
+
+
+def _chain_forward_infer(x, w1s, b1s, w2s, b2s, eps):
+    """The chain forward WITHOUT residual outputs: y1/y2 live in scratch
+    and only the final activation leaves VMEM — the per-block residual
+    writes (3 images per block) are the inference forward's dominant HBM
+    traffic. Identical math/slab order to the residual-saving kernel."""
+    N = w1s.shape[0]
+    B, H, W, C = x.shape
+    SH = int(os.environ.get("RAYGUN_CHAIN_SH", "0")) or (
+        _pick_slab(H, W, C, budget=_BWD_BUDGET) or _pick_slab(H, W, C))
+    w3 = jnp.stack(
+        [w1s.reshape(N, 3, 3 * C, C), w2s.reshape(N, 3, 3 * C, C)], axis=1)
+    bs = jnp.stack([b1s, b2s], axis=1)
+
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, SH, H, W, C, eps, False, N),
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 3, 3 * C, C), lambda b, i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, C), lambda b, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, C), lambda b, i: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, W, C), x.dtype),
+            pltpu.VMEM((H, W, C), x.dtype),
+            pltpu.VMEM((H, W, C), x.dtype),
+            pltpu.VMEM((SH + 2, W, 3 * C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=min(
+                _chain_vmem_bytes(B, H, W, C, SH, x.dtype.itemsize)
+                + 8 * 1024 * 1024,
+                _VMEM_CAP),
+        ),
+        interpret=_interpret(),
+    )(x, w3, bs)
 
 
 # ---------------------------------------------------------------------------

@@ -381,9 +381,17 @@ def rb_chain_bwd(x, outs, y1s, y2s, m1s, r1s, m2s, r2s, w1s, w2s, dout):
 def resblock_chain_bwdfused(x: Array, w1s: Array, b1s: Array, w2s: Array,
                             b2s: Array, eps: float = 1e-5) -> Array:
     """N chained resnet blocks (reflect/'same', instance norm, relu):
-    forward = the production per-block fused kernels (``resblock.py``),
-    backward = ONE resident chain kernel (module docstring). Bit-exact
-    against applying :func:`resblock.resblock_fused` N times."""
+    backward = ONE resident chain kernel (module docstring); when
+    differentiated, the forward is the production per-block fused kernels
+    (``resblock.py`` — custom_vjp runs ``_chain_fwd`` instead of this
+    primal). The UNdifferentiated primal (inference/rendering) runs the
+    no-residual resident chain (``resblock_chain._chain_forward_infer``):
+    only the final activation leaves VMEM. Bit-exact against applying
+    :func:`resblock.resblock_fused` N times either way."""
+    from .resblock_chain import _chain_forward_infer, resblock_chain_ok
+
+    if resblock_chain_ok(x, w1s.shape[0]):
+        return _chain_forward_infer(x, w1s, b1s, w2s, b2s, eps)
     h = x
     for i in range(w1s.shape[0]):
         h, _ = _rb_forward(h, w1s[i], b1s[i], w2s[i], b2s[i], eps)

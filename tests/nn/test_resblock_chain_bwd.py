@@ -121,6 +121,27 @@ def test_chain_op_vjp_bitexact_vs_sequential_fused_route(monkeypatch):
                                       err_msg=name)
 
 
+def test_inference_primal_no_residual_chain(monkeypatch):
+    """The UNdifferentiated op (inference/rendering) routes through the
+    no-residual resident chain and is bit-exact vs the sequential
+    per-block forward; differentiation is unaffected (custom_vjp runs
+    the residual-saving fwd instead of the primal)."""
+    from raygun_tpu.nn.pallas import resblock_chain as rc
+
+    monkeypatch.setattr(rc, "resblock_chain_ok", lambda x, n: True)
+    x, w1s, b1s, w2s, b2s = _mk(seed=4)
+    with pltpu.force_tpu_interpret_mode():
+        out = rcb.resblock_chain_bwdfused(x, w1s, b1s, w2s, b2s)
+        direct = rc._chain_forward_infer(x, w1s, b1s, w2s, b2s, 1e-5)
+        h = x
+        for i in range(N):
+            h = resblock_fused(h, w1s[i], b1s[i], w2s[i], b2s[i])
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(h, np.float32))
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(direct, np.float32))
+
+
 def test_chunked_batch_dispatch(monkeypatch):
     """Batches beyond the VMEM chunk run as multiple kernel calls: dx is
     bit-exact per image; dw/db partials add once per chunk (fp32
