@@ -69,6 +69,16 @@ def _chain_vmem_bytes(B: int, H: int, W: int, C: int, SH: int,
     return 2 * (img + w_blk) + 2 * 3 * img + img + slab + 2 * acc
 
 
+def _chain_slab(H: int, W: int, C: int):
+    """THE slab pick for the chain kernels — gate and dispatchers must
+    agree (a gate that falls back to a slab the kernel doesn't pick lets
+    shapes through that crash at trace time)."""
+    env = int(os.environ.get("RAYGUN_CHAIN_SH", "0"))
+    if env:
+        return env
+    return _pick_slab(H, W, C, budget=_BWD_BUDGET) or _pick_slab(H, W, C)
+
+
 def resblock_chain_ok(x: Array, n_blocks: int) -> bool:
     if os.environ.get("RAYGUN_DISABLE_PALLAS_RESBLOCK_CHAIN"):
         return False
@@ -81,8 +91,8 @@ def resblock_chain_ok(x: Array, n_blocks: int) -> bool:
         return False
     if H * W * C * B < (1 << 20):
         return False
-    SH = _pick_slab(H, W, C, budget=_BWD_BUDGET) or 8
-    if H % SH:
+    SH = _chain_slab(H, W, C)
+    if not SH or H % SH:
         return False
     if _chain_vmem_bytes(B, H, W, C, SH, 2) > _VMEM_CAP:
         return False
@@ -214,16 +224,30 @@ def _chain_kernel(SH, H, W, C, eps, save_res, n_blocks, *refs):
     jax.lax.fori_loop(0, n_slabs, tail, 0)
 
 
-def _chain_forward(x, w1s, b1s, w2s, b2s, eps):
+def _chain_dispatch(x, w1s, b1s, w2s, b2s):
+    """Shared dispatch scaffolding for both forward variants: slab pick
+    (the gate's _chain_slab — MUST stay shared, see its docstring),
+    weight/bias packing ((N, 2, 3, 3C, C): conv index then ty, with
+    (tx, c_in) stacked — the packing _conv9 consumes), VMEM limit."""
     N = w1s.shape[0]
     B, H, W, C = x.shape
-    SH = int(os.environ.get("RAYGUN_CHAIN_SH", "0")) or (
-        _pick_slab(H, W, C, budget=_BWD_BUDGET) or _pick_slab(H, W, C))
-    # (N, 2, 3, 3C, C): conv index then ty, with (tx, c_in) stacked —
-    # the same packing _conv9 consumes in the per-block kernels
+    SH = _chain_slab(H, W, C)
+    if not SH or H % SH:
+        raise ValueError(
+            f"no chain slab divides H={H} at (W={W}, C={C}) — gate with "
+            "resblock_chain_ok before calling the chain kernels")
     w3 = jnp.stack(
         [w1s.reshape(N, 3, 3 * C, C), w2s.reshape(N, 3, 3 * C, C)], axis=1)
     bs = jnp.stack([b1s, b2s], axis=1)  # (N, 2, C)
+    vmem = min(
+        _chain_vmem_bytes(B, H, W, C, SH, x.dtype.itemsize)
+        + 8 * 1024 * 1024,
+        _VMEM_CAP)
+    return N, B, H, W, C, SH, w3, bs, vmem
+
+
+def _chain_forward(x, w1s, b1s, w2s, b2s, eps):
+    N, B, H, W, C, SH, w3, bs, vmem = _chain_dispatch(x, w1s, b1s, w2s, b2s)
 
     img = pl.BlockSpec((1, 1, H, W, C), lambda b, i: (i, b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -255,10 +279,7 @@ def _chain_forward(x, w1s, b1s, w2s, b2s, eps):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=min(
-                _chain_vmem_bytes(B, H, W, C, SH, x.dtype.itemsize)
-                + 8 * 1024 * 1024,
-                _VMEM_CAP),
+            vmem_limit_bytes=vmem,
         ),
         interpret=_interpret(),
     )(x, w3, bs)
@@ -270,13 +291,7 @@ def _chain_forward_infer(x, w1s, b1s, w2s, b2s, eps):
     and only the final activation leaves VMEM — the per-block residual
     writes (3 images per block) are the inference forward's dominant HBM
     traffic. Identical math/slab order to the residual-saving kernel."""
-    N = w1s.shape[0]
-    B, H, W, C = x.shape
-    SH = int(os.environ.get("RAYGUN_CHAIN_SH", "0")) or (
-        _pick_slab(H, W, C, budget=_BWD_BUDGET) or _pick_slab(H, W, C))
-    w3 = jnp.stack(
-        [w1s.reshape(N, 3, 3 * C, C), w2s.reshape(N, 3, 3 * C, C)], axis=1)
-    bs = jnp.stack([b1s, b2s], axis=1)
+    N, B, H, W, C, SH, w3, bs, vmem = _chain_dispatch(x, w1s, b1s, w2s, b2s)
 
     return pl.pallas_call(
         functools.partial(_chain_kernel, SH, H, W, C, eps, False, N),
@@ -300,10 +315,7 @@ def _chain_forward_infer(x, w1s, b1s, w2s, b2s, eps):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=min(
-                _chain_vmem_bytes(B, H, W, C, SH, x.dtype.itemsize)
-                + 8 * 1024 * 1024,
-                _VMEM_CAP),
+            vmem_limit_bytes=vmem,
         ),
         interpret=_interpret(),
     )(x, w3, bs)

@@ -305,10 +305,18 @@ def rb_chain_bwd(x, outs, y1s, y2s, m1s, r1s, m2s, r2s, w1s, w2s, dout):
     N, B, H, W, C = y1s.shape
     SH = _bwd_slab(H, W, C)
     bc = _batch_chunk(B, H, W, C, SH, x.dtype.itemsize)
+    if not bc:
+        raise ValueError(
+            f"chain-backward working set exceeds VMEM even at batch 1 for "
+            f"(H={H}, W={W}, C={C}) — gate with rb_chain_bwd_ok")
     if bc < B:
         # images are independent in the backward: run the kernel per
         # batch chunk; dx concatenates exactly, dw/db partials add once
-        # per chunk (fp32 reassociation only)
+        # per chunk (fp32 reassociation only). Balance the chunks so all
+        # calls share one compiled shape (bc=5 on B=8 would compile 5 AND
+        # 3; ceil-balanced 4+4 compiles once).
+        n_chunks = -(-B // bc)
+        bc = -(-B // n_chunks)
         parts = [
             rb_chain_bwd(
                 x[s:s + bc], outs[:, s:s + bc], y1s[:, s:s + bc],

@@ -6,8 +6,17 @@ cd "$(dirname "$0")/.."
 run() {
   echo "=== $1 ==="
   shift
-  env "$@" FULL_ONLY=1 timeout 900 python scripts/perf_round3_map.py 2>&1 \
-    | grep -v WARNING | tail -3
+  local log
+  log=$(mktemp)
+  env "$@" FULL_ONLY=1 timeout 900 python scripts/perf_round3_map.py \
+    > "$log" 2>&1
+  local rc=$?
+  grep -v WARNING "$log" | tail -3
+  if [ $rc -ne 0 ]; then
+    echo "!!! arm FAILED (rc=$rc) — chip may be wedged; pausing 150s"
+    tail -15 "$log"
+    sleep 150
+  fi
 }
 run "baseline (committed routes)"
 run "rbchain (chain-resident resblock backward)" RAYGUN_RBCHAIN=1

@@ -157,17 +157,19 @@ def test_chunked_batch_dispatch(monkeypatch):
             x, outs, y1s, y2s, m1s, r1s, m2s, r2s, w1s, w2s, dout)
 
         d = dout
-        dw1_p, dw2_p = [], []
+        dw1_p, db1_p, dw2_p, db2_p = [], [], [], []
         for i in range(N - 1, -1, -1):
             xi = x if i == 0 else outs[i - 1]
-            d, dW1, _, dW2, _ = rb_bwd_fused(
+            d, dW1, dB1, dW2, dB2 = rb_bwd_fused(
                 xi, w1s[i], w2s[i], y1s[i], y2s[i],
                 m1s[i], r1s[i], m2s[i], r2s[i], d)
-            dw1_p.append(dW1); dw2_p.append(dW2)
+            dw1_p.append(dW1); db1_p.append(dB1)
+            dw2_p.append(dW2); db2_p.append(dB2)
 
     np.testing.assert_array_equal(np.asarray(dx_c, np.float32),
                                   np.asarray(d, np.float32))
-    for got, want in ((dw1_c, dw1_p), (dw2_c, dw2_p)):
+    for got, want in ((dw1_c, dw1_p), (db1_c, db1_p),
+                      (dw2_c, dw2_p), (db2_c, db2_p)):
         want = np.asarray(jnp.stack(want[::-1]))
         got = np.asarray(got)
         np.testing.assert_allclose(got, want, rtol=3e-5,
