@@ -261,17 +261,20 @@ class ResNet(nn.Module):
             # in-kernel instance norms (nn/pallas/shell_fused.py).
             # RAYGUN_SHELL_MEGA selects stages ("d1,d2,u1"); each is an
             # exact re-expression with the SAME param modules, so any
-            # combination is checkpoint-compatible. Default OFF: the
-            # full-mega apply measured SLOWER than the packed+fconv
-            # route at the production shape (13.99 vs 9.70 ms fwd,
-            # docs/PERFORMANCE.md "megakernel shell stages"), and no
-            # per-stage subset has yet won a step-level A/B.
+            # combination is checkpoint-compatible. Default: "u1" only —
+            # the one stage that WON its step-level A/B (production
+            # 3x512^2 step 150.9 -> 145.3 ms, docs/PERFORMANCE.md
+            # "megakernel shell stages"); d1 measured within noise and
+            # d2 / full-mega measured slower. Set RAYGUN_SHELL_MEGA=""
+            # to disable, or name stages explicitly to override.
             mega = set()
             if shell_fused_ok(x, self.ngf) and not self.use_dropout:
                 import os as _os
 
-                mega = {t.strip() for t in _os.environ.get(
-                    "RAYGUN_SHELL_MEGA", "").split(",") if t.strip()}
+                raw = _os.environ.get("RAYGUN_SHELL_MEGA")
+                if raw is None:
+                    raw = "u1"
+                mega = {t.strip() for t in raw.split(",") if t.strip()}
 
             w_s, b_s = ConvNd(
                 features=self.ngf, kernel_size=(7, 7), padding="valid",

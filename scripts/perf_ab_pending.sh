@@ -23,5 +23,4 @@ run "rbchain (chain-resident resblock backward)" RAYGUN_RBCHAIN=1
 run "shell-mega d1" RAYGUN_SHELL_MEGA=d1
 run "shell-mega d2" RAYGUN_SHELL_MEGA=d2
 run "shell-mega u1" RAYGUN_SHELL_MEGA=u1
-run "rbchain + best-mega placeholder (edit after arms)" RAYGUN_RBCHAIN=1
 run "baseline re-measure (drift check)"
