@@ -261,19 +261,17 @@ class ResNet(nn.Module):
             # in-kernel instance norms (nn/pallas/shell_fused.py).
             # RAYGUN_SHELL_MEGA selects stages ("d1,d2,u1"); each is an
             # exact re-expression with the SAME param modules, so any
-            # combination is checkpoint-compatible. Default: "u1" only —
-            # the one stage that WON its step-level A/B (production
-            # 3x512^2 step 150.9 -> 145.3 ms, docs/PERFORMANCE.md
-            # "megakernel shell stages"); d1 measured within noise and
-            # d2 / full-mega measured slower. Set RAYGUN_SHELL_MEGA=""
-            # to disable, or name stages explicitly to override.
+            # combination is checkpoint-compatible. Default: OFF — per
+            # the step-level A/B record (docs/PERFORMANCE.md "megakernel
+            # shell stages"): full-mega and d2 measured slower, d1
+            # within session noise; no stage has a recorded step-level
+            # win, so the production route stays packed+fconv. Opt in by
+            # naming stages explicitly.
             mega = set()
             if shell_fused_ok(x, self.ngf) and not self.use_dropout:
                 import os as _os
 
-                raw = _os.environ.get("RAYGUN_SHELL_MEGA")
-                if raw is None:
-                    raw = "u1"
+                raw = _os.environ.get("RAYGUN_SHELL_MEGA") or ""
                 mega = {t.strip() for t in raw.split(",") if t.strip()}
 
             w_s, b_s = ConvNd(

@@ -18,9 +18,11 @@ run() {
     sleep 150
   fi
 }
-run "baseline (committed routes)"
-run "rbchain (chain-resident resblock backward)" RAYGUN_RBCHAIN=1
+# Every arm pins RAYGUN_SHELL_MEGA explicitly so arms stay
+# self-describing and comparable even if the code default changes.
+run "baseline (committed routes)" RAYGUN_SHELL_MEGA=
+run "rbchain (chain-resident resblock backward)" RAYGUN_RBCHAIN=1 RAYGUN_SHELL_MEGA=
 run "shell-mega d1" RAYGUN_SHELL_MEGA=d1
 run "shell-mega d2" RAYGUN_SHELL_MEGA=d2
 run "shell-mega u1" RAYGUN_SHELL_MEGA=u1
-run "baseline re-measure (drift check)"
+run "baseline re-measure (drift check)" RAYGUN_SHELL_MEGA=
