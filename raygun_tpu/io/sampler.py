@@ -304,6 +304,9 @@ class HostStreamSampler:
         data_name: Optional[str] = None,
         max_rejects: int = 20,
         common_voxel_size: Optional[Sequence[int]] = None,
+        interp_order: Optional[int] = None,
+        interpolatable: Optional[Dict[str, bool]] = None,
+        pad_voxels: Optional[Sequence[int]] = None,
     ):
         # gp.RejectConstant parity on the host path (reference
         # CycleDataPipe.py:118-131): re-draw crops whose coefficient of
@@ -313,6 +316,29 @@ class HostStreamSampler:
         self.max_rejects = int(max_rejects)
         self.volumes = volumes
         self.crop_shape = tuple(crop_shape)
+        # gp.Resample's interp_order surface (reference
+        # ``CycleDataPipe.py:17,70-79``): None → per-array default by
+        # interpolatability (float dtype → linear, integer/bool LABEL and
+        # MASK dtypes → nearest — linear interpolation of label IDs would
+        # invent spurious labels at every boundary); an explicit integer
+        # overrides for every resampled array, as gp.Resample does.
+        self.interp_order = None if interp_order is None else int(interp_order)
+        # interpolatability is declared by ROLE (the reference's ArraySpec
+        # interpolatable flag: real → True even when uint8, mask → False);
+        # volumes not named here fall back to a dtype heuristic
+        self.interpolatable = dict(interpolatable or {})
+        # gp.Pad capability (reference ``MTLSDDataPipe.py:174-176``): extend
+        # the sampling region past the volume bounds by pad_voxels on each
+        # side; out-of-bounds voxels read as 0 (gp.Pad's default value),
+        # so a zero-padded labels_mask masks them out of the loss.
+        self.pad_voxels = (
+            None if pad_voxels is None else tuple(int(p) for p in pad_voxels)
+        )
+        if self.pad_voxels is not None and common_voxel_size is not None:
+            raise NotImplementedError(
+                "stream `pad` combined with per-crop resampling "
+                "(common_voxel_size) is not supported"
+            )
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         first = next(iter(volumes.values()))
@@ -349,7 +375,15 @@ class HostStreamSampler:
                 )
         if mask_name is not None:
             mask = volumes[mask_name].read() > 0
+            if self.pad_voxels is not None:
+                # grow the admissible region: out-of-bounds mask reads as 0,
+                # so min_masked still constrains how far crops may hang out
+                mask = np.pad(mask, [(p, p) for p in self.pad_voxels])
             self.origins = valid_origins(mask, self.crop_shape, min_masked, rng_seed=seed)
+            if self.pad_voxels is not None:
+                self.origins = self.origins - np.asarray(
+                    self.pad_voxels, self.origins.dtype
+                )
         elif self.common is not None:
             world = tuple(
                 s * v for s, v in zip(first.spatial_shape, first.voxel_size)
@@ -361,11 +395,14 @@ class HostStreamSampler:
             self.origins = None
             self.extent = extent
         else:
+            pad = self.pad_voxels or (0,) * len(self.crop_shape)
             extent = tuple(
-                s - c + 1 for s, c in zip(first.spatial_shape, self.crop_shape)
+                s + 2 * p - c + 1
+                for s, c, p in zip(first.spatial_shape, self.crop_shape, pad)
             )
             self.origins = None
             self.extent = extent
+            self._origin_shift = pad
         self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
@@ -377,16 +414,35 @@ class HostStreamSampler:
         origin = np.array([self.rng.integers(0, e) for e in self.extent])
         if self._snap is not None:
             origin = (origin // self._snap) * np.array(self._snap)
+        shift = getattr(self, "_origin_shift", None)
+        if shift is not None:
+            origin = origin - np.asarray(shift, origin.dtype)
         return origin
 
     def _read_crop(self, origin) -> Dict[str, np.ndarray]:
         out = {}
         futures = {}
+        nd = len(self.crop_shape)
+        fills = {}
         for name, vol in self.volumes.items():
-            world_off = vol.offset + Coordinate(origin) * self.voxel_size
-            if tuple(vol.voxel_size) != tuple(self.voxel_size):
+            if self.pad_voxels is not None:
+                # gp.Pad semantics: crops may hang past the volume bounds;
+                # read the in-bounds intersection and zero-fill the rest
+                start = np.asarray(origin[:nd], np.int64)
+                stop = start + np.asarray(self.crop_shape, np.int64)
+                lo = np.maximum(start, 0)
+                hi = np.minimum(stop, np.asarray(vol.spatial_shape[:nd]))
+                fills[name] = (start, lo, hi)
+                if np.any(hi <= lo):
+                    continue  # fully out of bounds: all zeros, no read
+                roi = Roi(
+                    vol.offset + Coordinate(lo.tolist()) * self.voxel_size,
+                    Coordinate((hi - lo).tolist()) * self.voxel_size,
+                )
+            elif tuple(vol.voxel_size) != tuple(self.voxel_size):
                 # read whole native voxels covering the crop's world extent
                 # (snapped origins guarantee the offset is on vol's grid)
+                world_off = vol.offset + Coordinate(origin) * self.voxel_size
                 native_n = tuple(
                     -(-(cs * c) // v)
                     for cs, c, v in zip(self.crop_shape, self.voxel_size,
@@ -394,24 +450,49 @@ class HostStreamSampler:
                 )
                 roi = Roi(world_off, Coordinate(native_n) * vol.voxel_size)
             else:
+                world_off = vol.offset + Coordinate(origin) * self.voxel_size
                 roi = Roi(world_off,
                           Coordinate(self.crop_shape) * self.voxel_size)
             futures[name] = vol.read_async(roi)
-        for name, fut in futures.items():
-            data = np.asarray(fut.result())
-            nd = len(self.crop_shape)
+        for name, vol in self.volumes.items():
+            if name in fills:
+                start, lo, hi = fills[name]
+                chan = vol.shape[nd:] if len(vol.shape) > nd else ()
+                full = np.zeros(self.crop_shape + tuple(chan), vol.dtype)
+                if name in futures:
+                    part = np.asarray(futures[name].result())
+                    sl = tuple(
+                        slice(int(l - s), int(h - s))
+                        for s, l, h in zip(start, lo, hi)
+                    )
+                    full[sl] = part
+                out[name] = full
+                continue
+            data = np.asarray(futures[name].result())
             if tuple(data.shape[:nd]) != self.crop_shape:
                 # off-common-grid volume: zoom by the exact voxel-size
-                # ratio (linear — gp.Resample default for raw), then
-                # crop/pad the ≤1-voxel remainder
+                # ratio. Order: explicit interp_order if configured (the
+                # gp.Resample surface), else by interpolatability — float
+                # data linearly, integer/bool LABEL and MASK volumes with
+                # order=0 (nearest): linear interpolation of label ids
+                # would invent spurious labels at every object boundary.
                 from scipy import ndimage
 
                 vol = self.volumes[name]
+                order = self.interp_order
+                if order is None:
+                    interp = self.interpolatable.get(
+                        name, np.issubdtype(data.dtype, np.floating)
+                    )
+                    order = 1 if interp else 0
                 zoom = [v / c for v, c in zip(vol.voxel_size, self.voxel_size)]
                 zoom = zoom[:nd] + [1.0] * (data.ndim - nd)
-                data = ndimage.zoom(
-                    data.astype(np.float32), zoom, order=1,
-                ).astype(data.dtype)
+                if order == 0:
+                    data = ndimage.zoom(data, zoom, order=0)  # dtype-exact
+                else:
+                    data = ndimage.zoom(
+                        data.astype(np.float32), zoom, order=order,
+                    ).astype(data.dtype)
                 # zoom rounding can land 1 voxel off; crop/pad to exact
                 sl = tuple(slice(0, t) for t in self.crop_shape)
                 if tuple(data.shape[:nd]) != self.crop_shape:
