@@ -461,7 +461,9 @@ def instance_norm_act_packed(xp: Array, channels: int, eps: float = 1e-5,
     ``act(instance_norm(depth_to_space(xp)))`` re-packed."""
     import os
 
-    if tpu_available() and not os.environ.get("RAYGUN_DISABLE_PALLAS_IN"):
+    forced = bool(os.environ.get("RAYGUN_FORCE_PALLAS_IN"))
+    if (tpu_available() or forced) and not os.environ.get(
+            "RAYGUN_DISABLE_PALLAS_IN"):
         return instance_norm_act_packed_pallas(xp, channels, eps, slope)
     f = xp.shape[-1] // channels
     xf = xp.astype(jnp.float32)

@@ -83,6 +83,11 @@ def resblock_fused_ok(x: Array) -> bool:
     B, H, W, C = x.shape
     if C % 128 or W < 8 or H < 8 or _pick_slab(H, W, C) is None:
         return False
+    if os.environ.get("RAYGUN_FORCE_PALLAS_RESBLOCK"):
+        # skip the platform + min-size heuristics (NOT the structural
+        # constraints above): CPU interpret-mode tests exercise the
+        # production route, e.g. under a DP mesh
+        return True
     if H * W * C * B < (1 << 20):
         return False
     try:
