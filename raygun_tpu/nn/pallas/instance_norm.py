@@ -38,6 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+
+def _interpret() -> bool:
+    """Plain interpret mode off-TPU (CPU tests, incl. under shard_map
+    meshes — the force_tpu_interpret_mode emulation stalls under
+    shard_map, measured; plain interpret composes fine)."""
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
 # row-tile length for the (B, S, C) view. 2048 rows x 256ch x 2B = 1 MB
 # blocks — big enough to saturate HBM streams, small enough to double-
 # buffer in 16 MB VMEM. Beyond C=256 the kernels' fp32 temporaries
@@ -134,6 +145,7 @@ def _moments(x3: Array, eps: float, group: int = None) -> Tuple[Array, Array]:
         out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, Cf), jnp.float32),
+        interpret=_interpret(),
     )(xf)
     if f > 1:
         sums = sums.reshape(B, 2, f, C).sum(axis=2)
@@ -178,6 +190,7 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
                       _chan_spec(Cf), _chan_spec(Cf)],
             out_specs=_tile_spec(Cf, ts),
             out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
+            interpret=_interpret(),
         )(xf, resf, mean[:, None, :], rstd[:, None, :])
         return y if group is not None else _unfold(y, f, C)
     kernel = (_normalize_kernel if slope is None
@@ -188,6 +201,7 @@ def _normalize(x3: Array, mean: Array, rstd: Array, slope=None,
         in_specs=[_tile_spec(Cf, ts), _chan_spec(Cf), _chan_spec(Cf)],
         out_specs=_tile_spec(Cf, ts),
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), x3.dtype),
+        interpret=_interpret(),
     )(xf, mean[:, None, :], rstd[:, None, :])
     return y if group is not None else _unfold(y, f, C)
 
@@ -302,6 +316,7 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3, group: int = None) -> Array:
         out_specs=pl.BlockSpec((1, 2, Cf), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2, Cf), jnp.float32),
+        interpret=_interpret(),
     )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :])
     if f > 1:
         sums = sums.reshape(B, 2, f, C).sum(axis=2)
@@ -318,6 +333,7 @@ def _bwd_dx(eps: float, slope, x3, mean, rstd, g3, group: int = None) -> Array:
                   _chan_spec(Cf), _chan_spec(Cf), _chan_spec(Cf)],
         out_specs=_tile_spec(Cf, ts),
         out_shape=jax.ShapeDtypeStruct((B, Sf, Cf), g3.dtype),
+        interpret=_interpret(),
     )(gf, xf, mean_f[:, None, :], rstd_f[:, None, :], mg[:, None, :],
       mgy[:, None, :])
     return dx if group is not None else _unfold(dx, f, C)

@@ -261,17 +261,21 @@ class ResNet(nn.Module):
             # in-kernel instance norms (nn/pallas/shell_fused.py).
             # RAYGUN_SHELL_MEGA selects stages ("d1,d2,u1"); each is an
             # exact re-expression with the SAME param modules, so any
-            # combination is checkpoint-compatible. Default: OFF — per
-            # the step-level A/B record (docs/PERFORMANCE.md "megakernel
-            # shell stages"): full-mega and d2 measured slower, d1
-            # within session noise; no stage has a recorded step-level
-            # win, so the production route stays packed+fconv. Opt in by
-            # naming stages explicitly.
+            # combination is checkpoint-compatible. Default: "u1" — the
+            # round-4 same-session step-level A/B (docs/PERFORMANCE.md
+            # "Megakernel shell stages") measured the production 3x512^2
+            # step at 151.23/151.17 ms baseline vs 145.41/145.55 ms with
+            # u1 (repeated), d1 within noise (150.19) and d1+u1 no better
+            # than u1 alone (145.46) — a reproducible 5.7 ms win that
+            # takes the step past the 40% MFU target. Set
+            # RAYGUN_SHELL_MEGA="" to disable, or name stages explicitly.
             mega = set()
             if shell_fused_ok(x, self.ngf) and not self.use_dropout:
                 import os as _os
 
-                raw = _os.environ.get("RAYGUN_SHELL_MEGA") or ""
+                raw = _os.environ.get("RAYGUN_SHELL_MEGA")
+                if raw is None:
+                    raw = "u1"
                 mega = {t.strip() for t in raw.split(",") if t.strip()}
 
             w_s, b_s = ConvNd(
