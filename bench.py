@@ -235,8 +235,11 @@ def _cyclegan_steps_per_sec(jax, side=256, batch=3):
 
     # scan N steps in ONE device execution: the axon relay adds ~25 ms of
     # fixed overhead per execution which would otherwise dominate a ~60 ms
-    # step; production training pipelines steps back-to-back anyway
-    N_STEPS = 8
+    # step; production training pipelines steps back-to-back anyway (the
+    # trainer's steady state equals the bare-scan rate — measured,
+    # docs/PERFORMANCE.md "Trainer steady state"). 32 steps amortize the
+    # relay to <1 ms/step (8 left a ~3 ms/step phantom in the number).
+    N_STEPS = 32
 
     # NB: a fresh jax.jit wrapper per compile — jit caches the TRACE by
     # avals, so lowering the same wrapped fn twice returns the FIRST trace

@@ -284,6 +284,56 @@ def packed_reflect_pad3(xp: Array) -> Array:
     return pad_axis(pad_axis(xp, 1), 2)
 
 
+def packed_reflect_pad3_T(g: Array) -> Array:
+    """Exact transpose of :func:`packed_reflect_pad3`: interior slice plus
+    masked strip adds back into rows/cols 0, 1, n-2, n-1 (the adjoint of
+    the phase-swapped edge mixes). XLA's autodiff of the pad's
+    where/concat composition schedules these as a slow scatter chain at
+    production shape (measured ~1.3 ms of the head backward,
+    scripts/perf_s3_parts.py); the explicit strip adds are cheap slices.
+    Verified equal to ``jax.vjp(packed_reflect_pad3, x)`` in
+    tests/nn/test_packed_shell.py."""
+    C4 = g.shape[-1]
+    Cq = C4 // 4
+    ch = jax.lax.broadcasted_iota(jnp.int32, (C4,), 0)
+    mask = {1: ch < C4 // 2, 2: (ch // Cq) % 2 == 0}
+
+    def unpad_axis(t, axis):
+        n = t.shape[axis] - 4
+        m = mask[axis]
+
+        def strip(i):
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(i, i + 1)
+            return t[tuple(sl)]
+
+        core_sl = [slice(None)] * t.ndim
+        core_sl[axis] = slice(2, n + 2)
+        core = t[tuple(core_sl)]
+        g_m2, g_m1 = strip(0), strip(1)
+        g_p0, g_p1 = strip(n + 2), strip(n + 3)
+        # forward: m2 = where(m, 0, r1); m1 = where(m, r1, r0);
+        #          p0 = where(m, rn1, rn2); p1 = where(m, rn2, 0)
+        zero = jnp.zeros((), core.dtype)
+        add0 = jnp.where(m, zero, g_m1)                      # -> row 0
+        add1 = jnp.where(m, g_m1, zero) + jnp.where(m, zero, g_m2)
+        addn2 = jnp.where(m, zero, g_p0) + jnp.where(m, g_p1, zero)
+        addn1 = jnp.where(m, g_p0, zero)                     # -> row n-1
+
+        def at(i):
+            sl = [slice(None)] * core.ndim
+            sl[axis] = slice(i, i + 1)
+            return tuple(sl)
+
+        core = core.at[at(0)].add(add0)
+        core = core.at[at(1)].add(add1)
+        core = core.at[at(n - 2)].add(addn2)
+        core = core.at[at(n - 1)].add(addn1)
+        return core
+
+    return unpad_axis(unpad_axis(g, 2), 1)
+
+
 def head_f_out(co: int) -> int:
     """Output packing factor for the 7x7 head: widen N = f^2*co toward the
     MXU's 128 lanes for narrow heads, but no further — every doubling of f

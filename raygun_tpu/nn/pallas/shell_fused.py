@@ -737,3 +737,239 @@ def _u1_bwd(res, da3):
 
 
 u1_fused.defvjp(lambda *a: _u1_fwd(*a), _u1_bwd)
+
+
+# ---------------------------------------------------------------------------
+# H1: prologue relu∘IN(fold 4) -> fine reflect-pad(3) -> packed 7x7 head
+# conv (reference ``ResNet.py:115-117``), the whole boundary in ONE
+# resident kernel per image. The packed head is an 8x8-tap stride-4 conv
+# on the pad(2)-extended coarse grid (packed_shell.head_from_packed); the
+# s2d-by-4 phase regroup turns it into a 2x2-tap STRIDE-1 conv over
+# (py, px, c)-stacked cells — the same _tap_conv2 GEMM shape as every
+# other stage here, with K = 2*16*C4 lanes. The XLA composition pays ~5.3
+# ms/apply at production 3x512^2 (scripts/perf_s3_parts.py: IN 1.34 +
+# reflect-pad 1.78 + head 5.56 in isolation, 6.20 composed) because hp is
+# written, read for stats, read+written by normalize, read+written by the
+# pad copy and read again by the conv; here it is read ONCE from HBM.
+#
+# Exactness: stats in fp32 from the bf16-rounded producer (fold 4), relu
+# on fp32 normalized values, conv fp32 accumulation rounded once at the
+# output — the packed route's exact rounding points; only fp32 summation
+# order differs (2 ty-GEMMs vs XLA's tap loop). The reflect pad
+# phase-mixes ROWS per channel-phase group while instance norm scales per
+# TRUE channel (identical for all 4 phases after the fold), so
+# pad∘normalize == normalize∘pad exactly.
+#
+# Backward = the proven composition: recompute the normalized image
+# (pallas normalize kernel), rebuild the padded input, then
+# packed_shell._ccs_bwd (phase-regrouped dx conv + one full-lane wgrad
+# GEMM), packed_reflect_pad3_T (explicit strip adds — XLA's autodiff of
+# the pad scheduled a ~1.3 ms scatter chain), and the instance-norm
+# backward kernels.
+# ---------------------------------------------------------------------------
+
+def h1_ok(hp: Array, w2: Array) -> bool:
+    """Gate: production head family — 8x8 taps (f_out 8, co folded), 4 |
+    packed extents, C4 % 128 == 0, and the resident plan inside VMEM."""
+    if os.environ.get("RAYGUN_DISABLE_H1_FUSED"):
+        return False
+    if hp.ndim != 4 or w2.ndim != 4:
+        return False
+    B, Hc, Wc, C4 = hp.shape
+    if w2.shape[0] != 8 or w2.shape[1] != 8 or w2.shape[2] != C4:
+        return False
+    if C4 % 128 or Hc % 4 or Wc % 4 or _h1_stats_slab(Hc) is None:
+        return False
+    Hq4 = Hc // 4
+    SH = _h1_slab(Hq4)
+    if SH is None:
+        return False
+    N = w2.shape[-1]
+    plan = (
+        2 * Hc * Wc * C4 * 2                    # hp block (double-buffered)
+        + (4 * SH + 4) * (Wc + 4) * C4 * 2      # pb scratch
+        + (SH + 1) * (Wc // 4) * 2 * 16 * C4 * 2  # apk scratch
+        + 2 * 16 * C4 * N * 2                   # regrouped weights
+        + SH * (Wc // 4) * N * 4                # fp32 acc
+    )
+    if plan + 8 * 1024 * 1024 > _VMEM_PLAN:
+        return False
+    if os.environ.get("RAYGUN_FORCE_SHELL_FUSED"):
+        return True
+    if hp.dtype != jnp.bfloat16:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _h1_slab(Hq4: int):
+    for sh in (8, 4, 2):
+        if Hq4 % sh == 0:
+            return sh
+    return None
+
+
+def _h1_stats_slab(Hc: int):
+    for sh in (16, 8, 4):
+        if Hc % sh == 0:
+            return sh
+    return None
+
+
+def _h1_kernel(Hc, Wc, C4, N, SH, hp_ref, w2r_ref, y_ref, st_out_ref,
+               st_ref, pb_scr, apk_ref):
+    dt = hp_ref.dtype
+    C = C4 // 4
+    Wp = Wc + 4
+    Wq4 = Wc // 4  # output cols (= (Wp - 8)/4 + 1)
+    Hq4 = Hc // 4
+    n_bands = Hq4 // SH
+    R_pad = 4 * SH + 4
+
+    # ---- stats over the raw image (fold 4 phases) ------------------------
+    SST = _h1_stats_slab(Hc)
+
+    def stats_body(i, carry):
+        s, sq = carry
+        blk = hp_ref[0, pl.ds(i * SST, SST)].astype(jnp.float32)
+        return (s + jnp.sum(blk, axis=(0, 1)),
+                sq + jnp.sum(blk * blk, axis=(0, 1)))
+
+    z = jnp.zeros((C4,), jnp.float32)
+    s, sq = jax.lax.fori_loop(0, Hc // SST, stats_body, (z, z))
+    _stats_from_sums(st_ref, s, sq, jnp.float32(Hc * Wc * 4), C, 4)
+    st_out_ref[0, 0, :] = st_ref[0, :]
+    st_out_ref[0, 1, :] = st_ref[1, :]
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C4), 2)
+    mv = ch < C4 // 2            # vy = 0 phase lanes
+    mh = (ch // C) % 2 == 0      # vx = 0 phase lanes
+    zero = jnp.zeros((), jnp.float32)
+
+    def nrow(idx):
+        """Normalized+relu'd hp row idx (dynamic), fp32 (1, Wc, C4)."""
+        raw = hp_ref[0, pl.ds(idx, 1)].astype(jnp.float32)
+        yhat = (raw - st_ref[0, :][None, None, :]) * \
+            st_ref[1, :][None, None, :]
+        return jnp.maximum(yhat, 0.0)
+
+    def band_body(i, _):
+        start = 4 * i * SH  # first padded row of the band
+        r0, r1 = nrow(0), nrow(1)
+        rn2, rn1 = nrow(Hc - 2), nrow(Hc - 1)
+        m2 = jnp.where(mv, zero, r1)
+        m1 = jnp.where(mv, r1, r0)
+        q0 = jnp.where(mv, rn1, rn2)
+        q1 = jnp.where(mv, rn2, zero)
+        for r in range(R_pad):
+            p = start + r
+            pm = jnp.clip(p - 2, 0, Hc - 1)
+            row = nrow(pm)
+            row = jnp.where(p == 0, m2, row)
+            row = jnp.where(p == 1, m1, row)
+            row = jnp.where(p == Hc + 2, q0, row)
+            row = jnp.where(p == Hc + 3, q1, row)
+            # width pad: two mixed cols each side (phase-swapped strips)
+            c2 = jnp.where(mh, zero, row[:, 1:2, :])
+            c1 = jnp.where(mh, row[:, 1:2, :], row[:, 0:1, :])
+            d0 = jnp.where(mh, row[:, Wc - 1:Wc, :], row[:, Wc - 2:Wc - 1, :])
+            d1 = jnp.where(mh, row[:, Wc - 2:Wc - 1, :], zero)
+            full = jnp.concatenate([c2, c1, row, d0, d1], axis=1)
+            pb_scr[pl.ds(r, 1)] = full[0].astype(dt)[None]
+        # s2d-by-4 regroup: apk[q, j, tx*16*C4 + (py*4+px)*C4 + c]
+        #   = pb[4q + py, 4*(j + tx) + px, c]
+        pb = pb_scr[...]
+        cells = pb.reshape(SH + 1, 4, Wp // 4, 4, C4)
+        for tx in range(2):
+            for py in range(4):
+                for px in range(4):
+                    lane = tx * 16 * C4 + (py * 4 + px) * C4
+                    apk_ref[:, 0:Wq4, lane:lane + C4] = \
+                        cells[:, py, tx:tx + Wq4, px, :]
+        apk = apk_ref[...]
+        K = 2 * 16 * C4
+        acc = jnp.zeros((SH * Wq4, N), jnp.float32)
+        for ty in range(2):
+            a = apk[ty:ty + SH, 0:Wq4, 0:K].reshape(SH * Wq4, K)
+            acc = acc + jax.lax.dot_general(
+                a, w2r_ref[ty], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y_ref[0, pl.ds(i * SH, SH)] = acc.astype(dt).reshape(SH, Wq4, N)
+        return 0
+
+    jax.lax.fori_loop(0, n_bands, band_body, 0)
+
+
+def _h1_regroup_w(w2: Array) -> Array:
+    """(8, 8, C4, N) taps -> (2, 2*16*C4, N): tap (4*ty+py, 4*tx+px, c)
+    lands at lane tx*16*C4 + (py*4+px)*C4 + c of ty-group ty (the apk
+    stacking order in _h1_kernel)."""
+    C4, N = w2.shape[2], w2.shape[3]
+    w = w2.reshape(2, 4, 2, 4, C4, N)          # (ty, py, tx, px, c, n)
+    w = w.transpose(0, 2, 1, 3, 4, 5)          # (ty, tx, py, px, c, n)
+    return w.reshape(2, 2 * 16 * C4, N)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def h1_fused(hp: Array, w2: Array, channels: int) -> Array:
+    """y_packed = head_conv(pad3(relu(IN_fold4(hp)))) on the f=8-packed
+    output grid — bias and the final depth_to_space stay outside (tiny,
+    XLA autodiff handles db). ``w2``: packed head taps (8, 8, C4, N) from
+    ``pack_conv_kernel_io(w, (2,2), (8,8), (1,1), (1,1))``."""
+    return _h1_fwd(hp, w2, channels)[0]
+
+
+def _h1_fwd(hp, w2, channels):
+    B, Hc, Wc, C4 = hp.shape
+    N = w2.shape[-1]
+    SH = _h1_slab(Hc // 4)
+    w2r = _h1_regroup_w(w2.astype(hp.dtype))
+    y, st = pl.pallas_call(
+        functools.partial(_h1_kernel, Hc, Wc, C4, N, SH),
+        grid=(B,),
+        in_specs=[_img_spec(Hc, Wc, C4),
+                  _full_spec(2, 2 * 16 * C4, N)],
+        out_specs=[_img_spec(Hc // 4, Wc // 4, N), _st_spec(C4)],
+        out_shape=[jax.ShapeDtypeStruct((B, Hc // 4, Wc // 4, N), hp.dtype),
+                   jax.ShapeDtypeStruct((B, 2, C4), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((4, C4), jnp.float32),
+            pltpu.VMEM((4 * SH + 4, Wc + 4, C4), hp.dtype),
+            pltpu.VMEM((SH + 1, Wc // 4, 2 * 16 * C4), hp.dtype),
+        ],
+        compiler_params=_params(),
+        interpret=_interpret(),
+    )(hp, w2r)
+    return y, (hp, w2, st)
+
+
+def _h1_bwd(channels, res, dy):
+    """Composition backward with the forward's exact rounding points:
+    normalize recomputed by the pallas kernel from the saved fp32 stats,
+    padded input rebuilt for the wgrad GEMM, then the proven pieces —
+    packed_shell._ccs_bwd, packed_reflect_pad3_T, instance-norm bwd."""
+    from ..packed_shell import (
+        _ccs_bwd,
+        packed_reflect_pad3,
+        packed_reflect_pad3_T,
+    )
+    from .instance_norm import _as3d, _bwd_dx, _normalize
+
+    hp, w2, st = res
+    B, Hc, Wc, C4 = hp.shape
+    C = C4 // 4
+    mean = st[:, 0, 0:C]
+    rstd = st[:, 1, 0:C]
+    hp3 = _as3d(hp)
+    hnorm = _normalize(hp3, mean, rstd, slope=0.0, group=4).reshape(hp.shape)
+    xq = packed_reflect_pad3(hnorm)
+    dxq, dw2 = _ccs_bwd(4, (xq, w2), dy)
+    dh = packed_reflect_pad3_T(dxq)
+    dhp = _bwd_dx(_EPS, 0.0, hp3, mean, rstd, _as3d(dh),
+                  group=4).reshape(hp.shape)
+    return dhp, dw2.astype(w2.dtype)
+
+
+h1_fused.defvjp(lambda *a: _h1_fwd(*a), _h1_bwd)

@@ -384,7 +384,6 @@ class ResNet(nn.Module):
                     h = _apply_norm_act(norm_ctor, y3, train,
                                         self.activation)
                     hp = up1_to_packed(h, w_u.astype(dt), b_u.astype(dt))
-            hp = instance_norm_act_packed(hp, self.ngf)
             w_h, b_h = ConvNd(
                 features=output_nc, kernel_size=(7, 7), padding="valid",
                 name="head",
@@ -402,6 +401,28 @@ class ResNet(nn.Module):
                 b_h = b_h.astype(jnp.float32) @ Vf
                 if b1 is not None:
                     b_h = b_h + b1.astype(jnp.float32)
+            if "h1" in mega:
+                # resident IN+pad+head stage (nn/pallas/shell_fused.py
+                # h1_fused): the whole suffix boundary in one kernel per
+                # image; falls through to the packed composition when the
+                # shape family doesn't apply
+                from .packed_shell import head_f_out
+                from .pallas.shell_fused import h1_fused, h1_ok
+
+                co = w_h.shape[-1]
+                f = head_f_out(co)
+                while (2 * hp.shape[1]) % f or (2 * hp.shape[2]) % f:
+                    f //= 2
+                if f == 8:
+                    w2h, _, cstr = pack_conv_kernel_io(
+                        w_h.astype(dt), (2, 2), (8, 8), (1, 1), (1, 1))
+                    if tuple(cstr) == (4, 4) and h1_ok(hp, w2h):
+                        from .layers import depth_to_space
+
+                        yq = h1_fused(hp, w2h, self.ngf)
+                        yq = yq + jnp.tile(b_h, f * f).astype(dt)
+                        return depth_to_space(yq, (f, f))
+            hp = instance_norm_act_packed(hp, self.ngf)
             return head_from_packed(hp, w_h.astype(dt), b_h.astype(dt))
 
         stem_pad = "valid"
