@@ -241,7 +241,7 @@ def up1_to_packed(x: Array, w: Array, b: Array) -> Array:
     return y
 
 
-def packed_reflect_pad3(xp: Array) -> Array:
+def _packed_reflect_pad3_impl(xp: Array) -> Array:
     """Fine reflect-pad of width 3 expressed on the f=2 packed tensor: two
     synthetic coarse cells per side built from phase-swapped edge strips
     (fine row -1 = row 1 lives at coarse 0 phase 1, etc.); the outermost
@@ -282,6 +282,32 @@ def packed_reflect_pad3(xp: Array) -> Array:
         return jnp.concatenate([m2, m1, t, p0, p1], axis=axis)
 
     return pad_axis(pad_axis(xp, 1), 2)
+
+
+@jax.custom_vjp
+def _packed_reflect_pad3_vjp(xp: Array) -> Array:
+    return _packed_reflect_pad3_impl(xp)
+
+
+_packed_reflect_pad3_vjp.defvjp(
+    lambda xp: (_packed_reflect_pad3_impl(xp), None),
+    lambda _, g: (packed_reflect_pad3_T(g),),
+)
+
+
+def packed_reflect_pad3(xp: Array) -> Array:
+    """See :func:`_packed_reflect_pad3_impl`. Default route carries a
+    custom VJP: XLA's autodiff of the where/concat pad composition
+    schedules a slow select/scatter chain at production shape; the
+    explicit strip-add transpose (:func:`packed_reflect_pad3_T`) is exact
+    — verified against ``jax.vjp`` in tests/nn/test_packed_shell.py — and
+    cheap. RAYGUN_DISABLE_PAD_VJP=1 restores the autodiff backward (A/B
+    measurement)."""
+    import os
+
+    if os.environ.get("RAYGUN_DISABLE_PAD_VJP"):
+        return _packed_reflect_pad3_impl(xp)
+    return _packed_reflect_pad3_vjp(xp)
 
 
 def packed_reflect_pad3_T(g: Array) -> Array:

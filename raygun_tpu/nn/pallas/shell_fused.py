@@ -805,7 +805,10 @@ def h1_ok(hp: Array, w2: Array) -> bool:
 
 
 def _h1_slab(Hq4: int):
-    for sh in (8, 4, 2):
+    # SH=8 measured a 102.2M scoped-VMEM stack inside the scanned train
+    # step (6.2M over the 96M ceiling — Mosaic's in-scan block buffering
+    # on top of the plan); SH=4 fits
+    for sh in (4, 2):
         if Hq4 % sh == 0:
             return sh
     return None
@@ -863,7 +866,8 @@ def _h1_kernel(Hc, Wc, C4, N, SH, hp_ref, w2r_ref, y_ref, st_out_ref,
         m1 = jnp.where(mv, r1, r0)
         q0 = jnp.where(mv, rn1, rn2)
         q1 = jnp.where(mv, rn2, zero)
-        for r in range(R_pad):
+
+        def row_body(r, _):
             p = start + r
             pm = jnp.clip(p - 2, 0, Hc - 1)
             row = nrow(pm)
@@ -874,10 +878,14 @@ def _h1_kernel(Hc, Wc, C4, N, SH, hp_ref, w2r_ref, y_ref, st_out_ref,
             # width pad: two mixed cols each side (phase-swapped strips)
             c2 = jnp.where(mh, zero, row[:, 1:2, :])
             c1 = jnp.where(mh, row[:, 1:2, :], row[:, 0:1, :])
-            d0 = jnp.where(mh, row[:, Wc - 1:Wc, :], row[:, Wc - 2:Wc - 1, :])
+            d0 = jnp.where(mh, row[:, Wc - 1:Wc, :],
+                           row[:, Wc - 2:Wc - 1, :])
             d1 = jnp.where(mh, row[:, Wc - 2:Wc - 1, :], zero)
             full = jnp.concatenate([c2, c1, row, d0, d1], axis=1)
-            pb_scr[pl.ds(r, 1)] = full[0].astype(dt)[None]
+            pb_scr[pl.ds(r, 1)] = full.astype(dt)
+            return 0
+
+        jax.lax.fori_loop(0, R_pad, row_body, 0)
         # s2d-by-4 regroup: apk[q, j, tx*16*C4 + (py*4+px)*C4 + c]
         #   = pb[4q + py, 4*(j + tx) + px, c]
         pb = pb_scr[...]

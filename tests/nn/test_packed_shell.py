@@ -366,3 +366,29 @@ class TestGeneratorAssemblyFold:
         ):
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4,
                                        err_msg=str(k))
+
+
+class TestPackedReflectPadVJP:
+    """packed_reflect_pad3's custom VJP (the explicit strip-add transpose)
+    must equal the autodiff backward of the raw where/concat composition
+    EXACTLY — including rectangular extents."""
+
+    def test_transpose_matches_autodiff(self):
+        from raygun_tpu.nn.packed_shell import (
+            _packed_reflect_pad3_impl,
+            packed_reflect_pad3,
+            packed_reflect_pad3_T,
+        )
+
+        for shape in ((2, 16, 16, 32), (1, 16, 24, 8), (3, 12, 20, 128)):
+            x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+            y, vjp_ref = jax.vjp(_packed_reflect_pad3_impl, x)
+            y2, vjp_new = jax.vjp(packed_reflect_pad3, x)
+            np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
+            g = jax.random.normal(jax.random.PRNGKey(1), y.shape, jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(vjp_new(g)[0]), np.asarray(vjp_ref(g)[0]),
+                rtol=1e-6, atol=1e-6, err_msg=str(shape))
+            np.testing.assert_allclose(
+                np.asarray(packed_reflect_pad3_T(g)),
+                np.asarray(vjp_ref(g)[0]), rtol=1e-6, atol=1e-6)
