@@ -63,10 +63,12 @@ def main():
         p, o, loss = step(params, opt, key)
         s = loss
         for leaf in jax.tree.leaves((p, o)):
-            s = s + jnp.sum(leaf.astype(jnp.float32)[..., :1].ravel()[:1])
+            s = s + jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
         return s
 
     txt = jax.jit(one).lower(params, opt, jax.random.PRNGKey(2)).compile().as_text()
+    with open("/tmp/step_hlo.txt", "w") as f:
+        f.write(txt)
     print(f"HLO chars: {len(txt)}, lines: {txt.count(chr(10))}")
     pat = re.compile(r"\s*(?:ROOT )?%?([\w.\-]+) = (\w+)\[([\d,]*)\][^=]*?= (\w[\w\-\.]*)\(")
     census = {}
