@@ -12,6 +12,7 @@ a broken gradient route, a wrong loss normalizer, or an optimizer mismatch
 all fail this test; finiteness checks would not."""
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +146,10 @@ def test_mtlsd_training_curve_matches_reference_torch(ref_networks, tmp_path):
 
     j = np.asarray(j_losses)
     t = np.asarray(t_losses)
+    dump = os.environ.get("RAYGUN_PARITY_TABLE")
+    if dump:
+        with open(dump, "w") as f:
+            json.dump({"jax": j.tolist(), "torch": t.tolist()}, f)
     # step 1: identical params, identical batch — losses must agree tightly
     np.testing.assert_allclose(j[0], t[0], rtol=1e-3)
     # whole curve: same init/data/optimizer/loss — fp32 rounding drift only
