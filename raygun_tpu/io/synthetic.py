@@ -46,9 +46,21 @@ def synthetic_labels(
 
 
 def synthetic_raw_from_labels(
-    labels: np.ndarray, seed: int = 3, noise: float = 0.1
+    labels: np.ndarray,
+    seed: int = 3,
+    noise: float = 0.1,
+    membrane_sigma: float = 1.0,
+    gap_fraction: float = 0.0,
 ) -> np.ndarray:
-    """EM-like intensity: dark membranes at label boundaries + texture."""
+    """EM-like intensity: dark membranes at label boundaries + texture.
+
+    Harder-protocol knobs (VERDICT r3 #5: the default protocol saturates
+    watershed VOI near zero after ~2k training steps, so quality scores
+    stop discriminating): ``membrane_sigma`` < 1 thins the membranes and
+    ``gap_fraction`` > 0 ERASES that fraction of the membrane signal in
+    smooth random patches — the classic boundary-evidence gaps that force
+    an affinity model to use shape context and keep VOI moving with
+    training budget (a raw-intensity watershed merges through every gap)."""
     rng = np.random.default_rng(seed)
     boundary = np.zeros(labels.shape, bool)
     for ax in range(labels.ndim):
@@ -59,7 +71,15 @@ def synthetic_raw_from_labels(
         edge = labels[tuple(sl_a)] != labels[tuple(sl_b)]
         boundary[tuple(sl_a)] |= edge
         boundary[tuple(sl_b)] |= edge
-    membrane = ndimage.gaussian_filter(boundary.astype(np.float32), 1.0)
+    membrane = ndimage.gaussian_filter(
+        boundary.astype(np.float32), membrane_sigma)
+    if gap_fraction > 0.0:
+        # smooth random field thresholded at the requested quantile:
+        # contiguous membrane patches lose their intensity evidence
+        field = ndimage.gaussian_filter(
+            rng.normal(0, 1, labels.shape), max(labels.shape) / 16)
+        thresh = np.quantile(field, gap_fraction)
+        membrane = np.where(field < thresh, 0.0, membrane)
     texture = ndimage.gaussian_filter(rng.normal(0, 1, labels.shape), 1.5)
     img = 0.75 - 0.6 * np.clip(membrane * 2, 0, 1) + 0.12 * texture
     img = img + rng.normal(0, noise, labels.shape)
@@ -84,14 +104,17 @@ def make_segmentation_dataset(
     voxel_size: Tuple[int, ...] = (30, 30, 30),
     num_cells: int = 24,
     seed: int = 17,
+    **raw_kwargs,
 ) -> dict:
     """Write a CREMI-style training zarr: raw / labels / masks.
 
     Returns {"path", "raw", "labels", "labels_mask", "cell_mask"} in the
     source-dict shape the reference configs use
-    (``default_MTLSD_conf.json`` "sources")."""
+    (``default_MTLSD_conf.json`` "sources"). ``raw_kwargs`` (noise,
+    membrane_sigma, gap_fraction) select the harder protocol — see
+    :func:`synthetic_raw_from_labels`."""
     labels = synthetic_labels(shape, num_cells, seed)
-    raw = synthetic_raw_from_labels(labels, seed + 1)
+    raw = synthetic_raw_from_labels(labels, seed + 1, **raw_kwargs)
     vx = Coordinate(voxel_size)
     total = Roi((0,) * len(shape), Coordinate(shape) * vx)
 

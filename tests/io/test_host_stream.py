@@ -252,3 +252,35 @@ def test_stream_pad_reaches_edges(tmp_path):
         assert sampler.next()["raw"].shape == (1, 8, 8)
     finally:
         sampler.stop()
+
+
+def test_hard_protocol_gaps_remove_membrane_evidence():
+    """The harder synthetic protocol (VERDICT r3 #5): gap_fraction erases
+    membrane intensity in contiguous patches, so a raw-intensity
+    watershed can no longer find every boundary — quality scores keep
+    discriminating with training budget instead of saturating."""
+    from raygun_tpu.io.synthetic import (
+        synthetic_labels,
+        synthetic_raw_from_labels,
+    )
+
+    labels = synthetic_labels((64, 64), num_cells=12, seed=5)
+    easy = synthetic_raw_from_labels(labels, seed=6, noise=0.0)
+    hard = synthetic_raw_from_labels(labels, seed=6, noise=0.0,
+                                     gap_fraction=0.35)
+    # boundary voxels: in the easy protocol they are dark (membrane);
+    # with gaps a sizable fraction regain interior-level brightness
+    b = np.zeros(labels.shape, bool)
+    b[1:] |= labels[1:] != labels[:-1]
+    b[:, 1:] |= labels[:, 1:] != labels[:, :-1]
+    dark = 0.45 * 255
+    easy_dark = float((easy[b] < dark).mean())
+    hard_dark = float((hard[b] < dark).mean())
+    assert easy_dark > 0.8, easy_dark
+    assert hard_dark < easy_dark - 0.15, (easy_dark, hard_dark)
+    # deep interiors (past the blurred membrane skirt) unchanged
+    from scipy import ndimage
+
+    deep = ~ndimage.binary_dilation(b, iterations=4)
+    np.testing.assert_allclose(float(easy[deep].mean()),
+                               float(hard[deep].mean()), rtol=0.05)
