@@ -323,6 +323,14 @@ class HostStreamSampler:
         # invent spurious labels at every boundary); an explicit integer
         # overrides for every resampled array, as gp.Resample does.
         self.interp_order = None if interp_order is None else int(interp_order)
+        if self.interp_order is not None and self.interp_order not in (0, 1, 2, 3):
+            # one accepted range across every resampling surface (stream and
+            # whole-volume — systems/cyclegan.py maps order 2 to its closest
+            # jax.image method, 'cubic'; this path runs the exact scipy
+            # spline order)
+            raise ValueError(
+                f"interp_order={self.interp_order} unsupported (accepted: 0-3)"
+            )
         # interpolatability is declared by ROLE (the reference's ArraySpec
         # interpolatable flag: real → True even when uint8, mask → False);
         # volumes not named here fall back to a dtype heuristic
@@ -339,6 +347,17 @@ class HostStreamSampler:
                 "stream `pad` combined with per-crop resampling "
                 "(common_voxel_size) is not supported"
             )
+        if self.pad_voxels is not None:
+            # the pad read path computes bounds in crop-grid voxels
+            # (vol.spatial_shape) and zero-fills — it has no native-read+zoom
+            # branch, so a mixed-resolution volume set would silently
+            # misalign ROIs; reject loudly instead (advisor r4)
+            vsizes = {tuple(v.voxel_size) for v in volumes.values()}
+            if len(vsizes) > 1:
+                raise NotImplementedError(
+                    "stream `pad` requires all volumes on one voxel grid; "
+                    f"got voxel sizes {sorted(vsizes)}"
+                )
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         first = next(iter(volumes.values()))
@@ -368,12 +387,33 @@ class HostStreamSampler:
                 for d in range(len(self.common))
             )
             self.voxel_size = self.common
-            if mask_name is not None:
+        if mask_name is not None and self.common is not None:
+            # stream resampling WITH a mask (reference resamples masks like
+            # any other volume, ``CycleDataPipe.py:62-86``): build the
+            # origin table on the common grid — read the mask once at its
+            # native grid, nearest-resample to common (masks never
+            # interpolate linearly), then keep only origins on the snap
+            # grid so every volume's per-crop read ROI still starts on its
+            # own voxel boundary. Per-crop mask reads go through the same
+            # native-read+zoom path as every other volume.
+            from scipy import ndimage
+
+            mvol = volumes[mask_name]
+            mask = np.asarray(mvol.read()) > 0
+            zoom = [v / c for v, c in zip(mvol.voxel_size, self.common)]
+            if any(abs(z - 1) > 1e-9 for z in zoom):
+                mask = ndimage.zoom(mask, zoom, order=0)
+            origins = valid_origins(mask, self.crop_shape, min_masked,
+                                    rng_seed=seed)
+            snap = np.asarray(self._snap, origins.dtype)
+            origins = origins[np.all(origins % snap == 0, axis=1)]
+            if len(origins) == 0:
                 raise ValueError(
-                    "stream resampling with a mask volume is not supported; "
-                    "pre-resample the mask or disable streaming"
+                    f"no snap-aligned crop of shape {self.crop_shape} "
+                    f"satisfies min_masked={min_masked} on the common grid"
                 )
-        if mask_name is not None:
+            self.origins = origins
+        elif mask_name is not None:
             mask = volumes[mask_name].read() > 0
             if self.pad_voxels is not None:
                 # grow the admissible region: out-of-bounds mask reads as 0,

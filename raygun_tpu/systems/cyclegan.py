@@ -341,12 +341,17 @@ class CycleGAN(BaseSystem):
                 # interpolatability (real → linear, mask → nearest); an
                 # explicit interp_order overrides for BOTH, as the
                 # reference passes it to both Resample nodes
+                # NB: jax.image.resize has no quadratic-spline kernel, so
+                # order 2 maps to its closest method ('cubic') on THIS
+                # whole-volume path; the stream path (io/sampler.py) runs
+                # the exact scipy order-2 spline. Both surfaces accept the
+                # same range, 0-3 (validated here and in HostStreamSampler).
                 methods = {0: "nearest", 1: "linear", 2: "cubic", 3: "cubic"}
                 if self.interp_order is not None:
                     io_ = int(self.interp_order)
                     if io_ not in methods:
                         raise ValueError(
-                            f"interp_order={io_} unsupported (0-3)"
+                            f"interp_order={io_} unsupported (accepted: 0-3)"
                         )
                     method = {"real": methods[io_], "mask": methods[io_]}
                 else:

