@@ -286,11 +286,8 @@ class CycleGAN(BaseSystem):
                 # Sources at a coarser voxel size are resampled PER CROP in
                 # the prefetch thread (gp.Resample ∘ PreCache composition,
                 # reference CycleDataPipe.py:62-86) — requires integer
-                # voxel-size ratios and no mask volume on that side.
-                factor = tuple(
-                    v / c for v, c in zip(vol.voxel_size, self.common_voxel_size)
-                )
-                needs_resample = any(abs(f - 1) > 1e-6 for f in factor)
+                # voxel-size ratios; masks resample like any other volume
+                # (nearest), with the origin table built on the common grid.
                 if self.ndims < len(self.common_voxel_size):
                     crop_shape = (1,) * (
                         len(self.common_voxel_size) - self.ndims) + crop_len
@@ -302,6 +299,15 @@ class CycleGAN(BaseSystem):
                 mask_name = src.get("mask_name")
                 if mask_name:
                     vols["mask"] = open_ds(src["path"], mask_name)
+                # EVERY volume on this side decides the resample route — an
+                # off-common-grid MASK alone must still put the origin table
+                # on the common grid (r5: previously only `vol` was checked,
+                # so a coarser mask silently mis-scaled the origin table)
+                needs_resample = any(
+                    abs(v / c - 1) > 1e-6
+                    for vv in vols.values()
+                    for v, c in zip(vv.voxel_size, self.common_voxel_size)
+                )
                 sk = dict(self.stream_kwargs or {})
                 self.host_samplers[side] = HostStreamSampler(
                     vols, crop_shape, self.batch_size,

@@ -45,7 +45,32 @@ def main():
     ap.add_argument("--skip-mtlsd", action="store_true",
                     help="reuse stage-3 checkpoints already in --out "
                          "(implies --skip-cyclegan)")
+    # HARD synthetic protocol (VERDICT r4 #3): membrane gaps + thin
+    # membranes keep segmentation VOI discriminating with training budget
+    # (the easy protocol saturates VOI at ~0 by 2k steps). --easy restores
+    # the r2-r4 protocol.
+    ap.add_argument("--easy", action="store_true",
+                    help="use the r2-r4 easy protocol (no membrane gaps)")
+    ap.add_argument("--gap-fraction", type=float, default=0.35)
+    ap.add_argument("--membrane-sigma", type=float, default=0.6)
+    ap.add_argument("--validate-at", default=None,
+                    help="comma list of checkpoint steps to run the full "
+                         "validation loop at (default: final step only)")
+    ap.add_argument("--downstream", action="store_true",
+                    help="train MTLSD on netG2-enhanced fake-30nm vs on "
+                         "raw-90nm (the reference's Fig-1 comparison) and "
+                         "validate both")
+    ap.add_argument("--downstream-steps", type=int, default=4000)
+    ap.add_argument("--aclsd", action="store_true",
+                    help="end-to-end ACLSD leg (train->predict->segment) "
+                         "on the same GT volume")
+    ap.add_argument("--aclsd-steps", type=int, default=1500)
     args = ap.parse_args()
+
+    raw_kwargs = {} if args.easy else {
+        "gap_fraction": args.gap_fraction,
+        "membrane_sigma": args.membrane_sigma,
+    }
 
     import jax
 
@@ -117,9 +142,10 @@ def main():
         os.path.join(out, "01_cycleGAN", "models"))
     if not skip_cg:
         labels_a = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24), seed=5)
-        raw_a = synthetic_raw_from_labels(labels_a, 6)
+        raw_a = synthetic_raw_from_labels(labels_a, 6, **raw_kwargs)
         labels_b = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24), seed=11)
-        raw_b = downsample_raw(synthetic_raw_from_labels(labels_b, 12), 3)
+        raw_b = downsample_raw(
+            synthetic_raw_from_labels(labels_b, 12, **raw_kwargs), 3)
         vx = Coordinate(30, 30)
         roi = Roi((0, 0), Coordinate(rng_shape) * vx)
         prepare_ds(data_path, "raw_30nm", roi, vx, np.uint8, delete=True).write(roi, raw_a)
@@ -225,7 +251,52 @@ def main():
                          "raw_90nm": {"path": data_path, "ds": "raw_90nm_at30"}},
         "metrics_path": os.path.join(out, "compare_30nm_metrics.json"),
     })
-    print(f"image metrics (fake vs real 30nm): {img_metrics}", flush=True)
+    print(f"image metrics (fake vs real 30nm, UNPAIRED volumes — the "
+          f"reference's full-volume table, where its fake also loses): "
+          f"{img_metrics}", flush=True)
+
+    # ---- stage 2b: PAIRED enhancement comparison --------------------------
+    # The reference's headline Fig-1 image claim (compare_90nm_metrics_
+    # crop64.json: link PSNR 21.8-22.7 vs raw-90nm 19.2) is measured on
+    # REGISTERED 30/90nm acquisitions of the SAME tissue. The unpaired
+    # table above compares different random volumes and cannot show it
+    # (VERDICT r4 missing #2). Paired analog: one held-out volume rendered
+    # at 30nm, degraded to 90nm by the same acquisition model, enhanced by
+    # netG2 — fake vs its own ground truth.
+    print("== stage 2b: paired enhancement eval", flush=True)
+    if not skip_cg:
+        labels_p = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24),
+                                    seed=23)
+        raw_p30 = synthetic_raw_from_labels(labels_p, 24, **raw_kwargs)
+        raw_p90 = downsample_raw(raw_p30, 3)
+        vx = Coordinate(30, 30)
+        roi = Roi((0, 0), Coordinate(rng_shape) * vx)
+        prepare_ds(data_path, "pair_real_30nm", roi, vx, np.uint8,
+                   delete=True).write(roi, raw_p30)
+        prepare_ds(data_path, "pair_raw_90nm", roi, vx, np.uint8,
+                   delete=True).write(roi, raw_p90)
+        pair_render = dict(render_conf, source_dataset="pair_raw_90nm",
+                           output_ds=["pair_fake_30nm"])
+        prp = os.path.join(cg_dir, "render_pair_conf.json")
+        with open(prp, "w") as f:
+            json.dump(pair_render, f, indent=2)
+        t0 = time.time()
+        predict_cli(prp)
+        print(f"rendered pair_fake_30nm in {time.time() - t0:.0f}s", flush=True)
+    paired_metrics = images_compare({
+        "target_source": {"path": data_path, "ds": "pair_real_30nm"},
+        "test_sources": {
+            "fake_30nm": {"path": data_path, "ds": "pair_fake_30nm"},
+            "raw_90nm": {"path": data_path, "ds": "pair_raw_90nm"},
+        },
+        # the reference's artifact crops 64 px off each border
+        # (compare_90nm_metrics_crop64.json) — same here, which also
+        # excludes blockwise-render edge effects
+        "crop": 64,
+        "metrics_path": os.path.join(out, "compare_90nm_metrics_paired.json"),
+    })
+    print(f"PAIRED image metrics (same volume, fake vs raw-90nm against "
+          f"real-30nm): {paired_metrics}", flush=True)
 
     # ---- stage 3: MTLSD training at 196^3 -> 104^3 ------------------------
     print("== stage 3: MTLSD", flush=True)
@@ -239,7 +310,7 @@ def main():
     else:
         src = make_segmentation_dataset(
             gt_path, shape=(m_vol,) * 3, num_cells=24 if not args.smoke else 10,
-            seed=17)
+            seed=17, **raw_kwargs)
 
     mt_dir = os.path.join(out, "02_MTLSD")
     os.makedirs(mt_dir, exist_ok=True)
@@ -301,63 +372,293 @@ def main():
     ev_path = os.path.join(out, "eval0.zarr")
     ev = make_segmentation_dataset(
         ev_path, shape=(eval_vol,) * 3, num_cells=20 if not args.smoke else 10,
-        seed=99)
+        seed=99, **raw_kwargs)
     ev_labels = open_ds(ev["path"], ev["labels"]).read()
     nml = make_skeleton_nml(ev_labels, os.path.join(out, "skel.nml"),
                             n_trees=24)
     n_affs = 3 if args.smoke else 20
-    predict_conf = {
-        "config_path": mt_conf_path,
-        "source_path": ev["path"],
-        "source_dataset": ev["raw"],
-        "checkpoint": m_steps,
-        "scaleShift_input": [2, -1],
-        "output_ds": ["volumes/pred_affs", "volumes/pred_lsds"],
-        "input_shape": list(m_in), "output_shape": list(m_out),
-        "dest_path": ev["path"],
-    }
-    val_conf = {
-        "checkpoint": m_steps,
-        "metric_path": os.path.join(out, "validation_eval0_metrics.json"),
-        "prediction_config_path": os.path.join(out, "predict_conf.json"),
-        "segment_config": {
-            "file": ev["path"], "aff_ds": "volumes/pred_affs",
-            "thresholds": [0.5], "save": True,
-        },
-        "skeleton_config": {
-            "file": ev["path"], "skeleton_path": nml,
-            "dataset": "skeleton_rasterization",
-            "shape": [eval_vol] * 3, "voxel_size": [30, 30, 30],
-        },
-    }
-    with open(os.path.join(out, "predict_conf.json"), "w") as f:
-        json.dump(predict_conf, f, indent=2)
-    vp = os.path.join(out, "val_conf.json")
-    with open(vp, "w") as f:
-        json.dump(val_conf, f, indent=2)
+    validate_at = (
+        [int(s) for s in args.validate_at.split(",")]
+        if args.validate_at else [m_steps]
+    )
 
     from raygun_tpu.eval.validate import validate_affinities
 
-    t0 = time.time()
-    validate_affinities(vp)
-    print(f"validation loop in {time.time() - t0:.0f}s", flush=True)
+    def run_validation_loop(conf_path, ckpt, metric_name, in_shape, out_shape,
+                            source_dataset=None, tag="", output_ds=None,
+                            aff_ds="volumes/pred_affs"):
+        """Full predict -> segment -> skeleton-VOI loop for one checkpoint;
+        appends {ckpt: metrics} to metric_name and returns the entry."""
+        predict_conf = {
+            "config_path": conf_path,
+            "source_path": ev["path"],
+            "source_dataset": source_dataset or ev["raw"],
+            "checkpoint": ckpt,
+            "scaleShift_input": [2, -1],
+            "output_ds": output_ds or ["volumes/pred_affs",
+                                       "volumes/pred_lsds"],
+            "input_shape": list(in_shape), "output_shape": list(out_shape),
+            "dest_path": ev["path"],
+        }
+        val_conf = {
+            "checkpoint": ckpt,
+            "metric_path": os.path.join(out, metric_name),
+            "prediction_config_path": os.path.join(
+                out, f"predict_conf{tag}.json"),
+            "segment_config": {
+                "file": ev["path"], "aff_ds": aff_ds,
+                "thresholds": [0.5], "save": True,
+            },
+            "skeleton_config": {
+                "file": ev["path"], "skeleton_path": nml,
+                "dataset": "skeleton_rasterization",
+                "shape": [eval_vol] * 3, "voxel_size": [30, 30, 30],
+            },
+        }
+        with open(val_conf["prediction_config_path"], "w") as f:
+            json.dump(predict_conf, f, indent=2)
+        vp = os.path.join(out, f"val_conf{tag}.json")
+        with open(vp, "w") as f:
+            json.dump(val_conf, f, indent=2)
+        t0 = time.time()
+        validate_affinities(vp)
+        print(f"validation loop ({metric_name} @{ckpt}) in "
+              f"{time.time() - t0:.0f}s", flush=True)
+        return json.load(open(val_conf["metric_path"]))[str(ckpt)]
 
-    metrics = json.load(open(val_conf["metric_path"]))
-    entry = metrics[str(m_steps)]
+    # checkpoint sweep: the BASELINE.md table shape (score per step) AND
+    # the learning-direction evidence the easy protocol could not give
+    # (VERDICT r4: VOI saturated at 0.0022 from 2k steps)
+    entries = {}
+    for ckpt in validate_at:
+        entries[ckpt] = run_validation_loop(
+            mt_conf_path, ckpt, "validation_eval0_metrics.json", m_in, m_out)
+    entry = entries[validate_at[-1]]
     score = entry["voi_split"] + entry["voi_merge"]
+    voi_by_step = {
+        str(c): round(e["voi_split"] + e["voi_merge"], 4)
+        for c, e in entries.items()
+    }
+    print(f"VOI by checkpoint: {voi_by_step}", flush=True)
+
     summary = {
         "workload": f"CycleGAN 3x{g_side}^2 {g_steps} steps; "
                     f"MTLSD 1x{m_in[0]}^3 {m_steps} steps",
+        "protocol": ("easy" if args.easy else
+                     {"gap_fraction": args.gap_fraction,
+                      "membrane_sigma": args.membrane_sigma}),
         "cyclegan_steps_per_sec": round(cg_steps_timed / cg_time, 3),
         "mtlsd_steps_per_sec": round(mt_steps_timed / mt_time, 3),
-        "image_metrics": img_metrics,
+        "image_metrics_unpaired": img_metrics,
+        "image_metrics_paired_crop64": paired_metrics,
         "validation": entry,
+        "voi_by_step": voi_by_step,
         "score_voi_sum": round(score, 4),
-        "total_wall_s": round(time.time() - t_start, 0),
     }
+    if len(validate_at) > 1:
+        summary["voi_learning_direction_ok"] = bool(
+            voi_by_step[str(validate_at[-1])] < voi_by_step[str(validate_at[0])]
+        )
+
+    # ---- stage 5 (optional): downstream fake-30nm vs raw-90nm -------------
+    # The reference's Fig-1 DOWNSTREAM result (BASELINE.md: link 4.52 beats
+    # real_90nm 4.61 on validation VOI): train one MTLSD on the netG2-
+    # ENHANCED version of the GT volume's 90nm acquisition and one on the
+    # raw 90nm itself; validate each on the eval volume acquired the same
+    # way. Reference 02_MTLSD trains exactly these variant legs.
+    if args.downstream:
+        summary["downstream"] = _downstream_legs(
+            args, out, mt_conf, ev, cg_conf_path, best_iter,
+            run_validation_loop, m_in, m_out, record_time)
+
+    # ---- stage 6 (optional): ACLSD end-to-end leg -------------------------
+    if args.aclsd:
+        summary["aclsd"] = _aclsd_leg(
+            args, out, src, run_validation_loop, record_time)
+
+    summary["total_wall_s"] = round(time.time() - t_start, 0)
     with open(os.path.join(out, "recipe_summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2), flush=True)
+
+
+def _train_leg(conf, conf_path, steps, record_time, time_key):
+    """Train one system config (resumable) and record wall time."""
+    import time as _time
+
+    from raygun_tpu.systems import load_system
+
+    leg_dir = os.path.dirname(conf_path)
+    os.makedirs(leg_dir, exist_ok=True)
+    with open(conf_path, "w") as f:
+        json.dump(conf, f, indent=2)
+    models_dir = conf["model_path"].rstrip("/")
+    import re as _re
+    done = 0
+    if os.path.isdir(models_dir):
+        for name in os.listdir(models_dir):
+            m = _re.search(r"_checkpoint_(\d+)$", name)
+            if m:
+                done = max(done, int(m.group(1)))
+    if done >= steps:
+        print(f"({time_key}: reusing checkpoint {done})", flush=True)
+        return
+    cwd = os.getcwd()
+    os.chdir(leg_dir)
+    try:
+        t0 = _time.time()
+        system = load_system(conf_path)
+        system.build_system()
+        system.train()
+        record_time(time_key, _time.time() - t0, steps=steps - done)
+    finally:
+        os.chdir(cwd)
+
+
+def _downstream_legs(args, out, mt_conf, ev, cg_conf_path,
+                     best_iter, run_validation_loop, m_in, m_out,
+                     record_time):
+    """Reference Fig-1 downstream comparison (BASELINE.md: link 4.52 beats
+    real_90nm 4.61): MTLSD trained on netG2-ENHANCED 90nm vs on raw 90nm,
+    each validated on the eval volume acquired/enhanced the same way."""
+    import numpy as np
+
+    from raygun_tpu.cli.predict import predict as predict_cli
+    from raygun_tpu.core.roi import Coordinate, Roi
+    from raygun_tpu.io import open_ds
+    from raygun_tpu.io.synthetic import downsample_raw
+    from raygun_tpu.io.volume import prepare_ds
+
+    print("== stage 5: downstream fake-30nm vs raw-90nm", flush=True)
+    ds_dir = os.path.join(out, "03_downstream")
+    os.makedirs(ds_dir, exist_ok=True)
+
+    # 90nm acquisition + netG2 enhancement of BOTH the GT and eval volumes
+    for path, raw_ds in ((mt_conf["sources"][0]["path"],
+                          mt_conf["sources"][0]["raw"]),
+                         (ev["path"], ev["raw"])):
+        vol = open_ds(path, raw_ds)
+        if not os.path.isdir(os.path.join(path, "volumes/fake_30nm")):
+            raw30 = vol.read()
+            raw90 = downsample_raw(raw30, 3)
+            prepare_ds(path, "volumes/raw_90nm", vol.roi, vol.voxel_size,
+                       np.uint8, delete=True).write(vol.roi, raw90)
+            side = int(raw30.shape[-1])
+            render = {
+                "config_path": cg_conf_path,
+                "source_path": path,
+                "source_dataset": "volumes/raw_90nm",
+                "net_name": "netG2",
+                "checkpoint": best_iter,
+                "input_shape": side, "output_shape": side, "ndims": 2,
+                "output_ds": ["volumes/fake_30nm"],
+                "out_specs": {"fake": {"dtype": "uint8"}},
+                "dest_path": path,
+            }
+            rp = os.path.join(ds_dir, "render_" + os.path.basename(path)
+                              + ".json")
+            with open(rp, "w") as f:
+                json.dump(render, f, indent=2)
+            predict_cli(rp)
+            print(f"enhanced {path} -> volumes/fake_30nm", flush=True)
+
+    results = {}
+    for leg, train_raw, eval_raw in (
+        ("link", "volumes/fake_30nm", "volumes/fake_30nm"),
+        ("real90", "volumes/raw_90nm", "volumes/raw_90nm"),
+    ):
+        conf = json.loads(json.dumps(mt_conf))  # deep copy
+        conf["sources"][0]["raw"] = train_raw
+        conf["model_path"] = os.path.join(ds_dir, leg, "models") + "/"
+        tk = dict(conf["train_kwargs"])
+        tk["log_dir"] = os.path.join(ds_dir, leg, "tb")
+        tk["num_epochs"] = args.downstream_steps
+        tk["save_every"] = args.downstream_steps
+        tk["log_every"] = max(args.downstream_steps // 20, 1)
+        conf["train_kwargs"] = tk
+        _train_leg(conf, os.path.join(ds_dir, leg, "train_conf.json"),
+                   args.downstream_steps, record_time, f"downstream_{leg}")
+        entry = run_validation_loop(
+            os.path.join(ds_dir, leg, "train_conf.json"),
+            args.downstream_steps,
+            f"validation_eval0_metrics_{leg}.json", m_in, m_out,
+            source_dataset=eval_raw, tag=f"_{leg}")
+        results[leg] = {
+            "voi_sum": round(entry["voi_split"] + entry["voi_merge"], 4),
+            "metrics": entry,
+        }
+    results["link_beats_real90"] = bool(
+        results["link"]["voi_sum"] < results["real90"]["voi_sum"]
+    )
+    print(f"downstream: link {results['link']['voi_sum']} vs real90 "
+          f"{results['real90']['voi_sum']}", flush=True)
+    return results
+
+
+def _aclsd_leg(args, out, src, run_validation_loop, record_time):
+    """End-to-end ACLSD leg (VERDICT r4 weak #6): train the auto-context
+    system on the same GT volume, predict, segment on the AC affinities."""
+    print("== stage 6: ACLSD end-to-end", flush=True)
+    ac_dir = os.path.join(out, "04_ACLSD")
+    if args.smoke:
+        in_sh, out_sh = [36] * 3, [20] * 3
+        mt_unet = {"input_nc": 1, "ngf": 4, "fmap_inc_factor": 2,
+                   "downsample_factors": [[2, 2, 2]],
+                   "constant_upsample": True}
+        ac_unet = {"input_nc": 10, "ngf": 4, "fmap_inc_factor": 2,
+                   "downsample_factors": [[2, 2, 2]],
+                   "constant_upsample": True, "padding_type": "same"}
+        num_affs, n_diag, sigma = 3, 0, 120
+        neighborhood = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    else:
+        in_sh, out_sh = [196] * 3, [104] * 3
+        mt_unet = {"input_nc": 1, "ngf": 12, "fmap_inc_factor": 6,
+                   "downsample_factors": [[2, 2, 2]] * 3,
+                   "constant_upsample": True}
+        ac_unet = {"input_nc": 10, "ngf": 12, "fmap_inc_factor": 6,
+                   "downsample_factors": [[2, 2, 2]] * 3,
+                   "constant_upsample": True, "padding_type": "same"}
+        num_affs, n_diag, sigma = 20, 8, 300
+        neighborhood = None
+    conf = {
+        "system": "ACLSD",
+        "sources": [src],
+        "ndims": 3, "batch_size": 1,
+        "input_shape": in_sh, "output_shape": out_sh,
+        "voxel_size": [30, 30, 30],
+        "n_diagonals": n_diag,
+        "model_kwargs": {"mt_unet_kwargs": mt_unet,
+                         "ac_unet_kwargs": ac_unet,
+                         "num_affs": num_affs},
+        "elastic_aug1_kwargs": None, "elastic_aug2_kwargs": None,
+        "intensity_aug_kwargs": {"scale_min": 0.9, "scale_max": 1.1,
+                                 "shift_min": -0.1, "shift_max": 0.1},
+        "lsd_kwargs": {"sigma": sigma, "downsample": 2},
+        "max_labels": 32,
+        "optim_type": "adam", "optim_kwargs": {"learning_rate": 5e-4},
+        "model_path": os.path.join(ac_dir, "models") + "/",
+        "train_kwargs": {"log_dir": os.path.join(ac_dir, "tb"),
+                         "log_every": max(args.aclsd_steps // 20, 1),
+                         "num_epochs": args.aclsd_steps,
+                         "save_every": args.aclsd_steps},
+        "random_seed": 13,
+    }
+    if neighborhood is not None:
+        conf["neighborhood"] = neighborhood
+        conf["num_affs"] = num_affs
+    _train_leg(conf, os.path.join(ac_dir, "train_conf.json"),
+               args.aclsd_steps, record_time, "aclsd")
+    entry = run_validation_loop(
+        os.path.join(ac_dir, "train_conf.json"), args.aclsd_steps,
+        "validation_eval0_metrics_aclsd.json", in_sh, out_sh,
+        tag="_aclsd",
+        output_ds=["volumes/pred_affs", "volumes/pred_lsds",
+                   "volumes/pred_affs_ac"],
+        aff_ds="volumes/pred_affs_ac")
+    return {
+        "voi_sum": round(entry["voi_split"] + entry["voi_merge"], 4),
+        "metrics": entry,
+    }
 
 
 if __name__ == "__main__":
