@@ -141,12 +141,16 @@ def make_cyclegan_dataset(
     voxel_size_a: Tuple[int, ...] = (30, 30),
     voxel_size_b: Tuple[int, ...] = (90, 90),
     seed: int = 5,
+    **raw_kwargs,
 ) -> dict:
-    """Write side-A (high-res) and side-B (low-res) unpaired volumes."""
+    """Write side-A (high-res) and side-B (low-res) unpaired volumes.
+    ``raw_kwargs`` (noise, membrane_sigma, gap_fraction) select the harder
+    protocol — see :func:`synthetic_raw_from_labels`."""
     labels = synthetic_labels(shape, num_cells=max(6, int(np.prod(shape)) // 512), seed=seed)
-    raw_a = synthetic_raw_from_labels(labels, seed + 1)
+    raw_a = synthetic_raw_from_labels(labels, seed + 1, **raw_kwargs)
     labels_b = synthetic_labels(shape, num_cells=max(6, int(np.prod(shape)) // 512), seed=seed + 7)
-    raw_b = downsample_raw(synthetic_raw_from_labels(labels_b, seed + 8), 3)
+    raw_b = downsample_raw(
+        synthetic_raw_from_labels(labels_b, seed + 8, **raw_kwargs), 3)
 
     vx_a, vx_b = Coordinate(voxel_size_a), Coordinate(voxel_size_b)
     roi_a = Roi((0,) * len(shape), Coordinate(shape) * vx_a)

@@ -20,8 +20,11 @@ from raygun_tpu.io.synthetic import make_skeleton_nml  # noqa: E402
 @pytest.mark.slow
 def test_train_predict_segment_validate(tmp_path):
     shape = (48, 64, 64)
+    # the HARD protocol volumes (membrane gaps + thin membranes) — the same
+    # data recipe the production run uses (VERDICT r4 #3)
     src = make_segmentation_dataset(str(tmp_path / "gt.zarr"), shape=shape,
-                                    num_cells=10)
+                                    num_cells=10, gap_fraction=0.35,
+                                    membrane_sigma=0.6)
     labels = open_ds(src["path"], src["labels"]).read()
 
     # ---- train a few steps ------------------------------------------------
