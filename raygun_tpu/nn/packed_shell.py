@@ -40,6 +40,8 @@ routes (the ResnetBlock fused-route pattern, nn/resnet.py:52-80).
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import Tuple
 
@@ -174,13 +176,35 @@ def packed_shell_ok(x: Array, ngf: int) -> bool:
 
 def stem_packed(x: Array, w: Array, b: Array) -> Array:
     """Reflect-pad(3) + 7x7 valid conv (reference ``ResNet.py:51-63``),
-    packed: the (tiny) fine input is padded and s2d-packed, the conv runs
-    coarse with 4x4 taps producing the packed stem activation directly.
-    x: (B, H, W, ci) with H, W even -> (B, H/2, W/2, 4*co)."""
+    producing the f=2-packed stem activation directly.
+    x: (B, H, W, ci) with H, W even -> (B, H/2, W/2, 4*co).
+
+    Two exact forms of the same sum (parity-tested, values + grads):
+
+    COARSE (default): s2d-pack the padded input and run the 4x4-tap
+    stride-1 coarse conv. The r5 device trace attributes ~3 ms/apply at
+    3x512^2 to building the lane-padded (H/2+3, W/2+3, 4*ci) s2d
+    intermediate — but every attempt to avoid it has measured WORSE.
+
+    FINE (RAYGUN_STEM_FINE=1, measured and REJECTED r5): one 8x8-tap
+    stride-2 conv on the padded fine input — tap (2ty+qy, 2tx+qx) of
+    output phase (qy, qx) is w[ty, tx]. Removes the s2d intermediate
+    entirely, but a C_in=1 stride-2 conv on the fine grid is exactly the
+    idle-MXU lowering this module exists to avoid: full production step
+    218.1 ms vs 146.0/145.6 ms coarse (same session, FULL_ONLY
+    perf_round3_map) — a 72 ms LOSS."""
     xpad = pad_spatial(x, [(3, 3)] * 2, "reflect")
-    xp = space_to_depth(xpad, (2, 2))
-    w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (2, 2), (1, 1), (0, 0))
-    y = _conv(xp, w2.astype(x.dtype), cstr)
+    if os.environ.get("RAYGUN_STEM_FINE"):
+        w8 = jnp.concatenate(
+            [jnp.pad(w, [(qy, 1 - qy), (qx, 1 - qx), (0, 0), (0, 0)])
+             for qy in range(2) for qx in range(2)],
+            axis=-1,
+        ).astype(x.dtype)  # (8, 8, ci, 4*co), phase-major (qy, qx, co)
+        y = _conv_maybe_custom(xpad, w8, (2, 2))
+    else:
+        xp = space_to_depth(xpad, (2, 2))
+        w2, _, cstr = pack_conv_kernel_io(w, (2, 2), (2, 2), (1, 1), (0, 0))
+        y = _conv(xp, w2.astype(x.dtype), cstr)
     if b is not None:
         y = y + jnp.tile(b, 4).astype(y.dtype)
     return y
@@ -284,13 +308,26 @@ def _packed_reflect_pad3_impl(xp: Array) -> Array:
     return pad_axis(pad_axis(xp, 1), 2)
 
 
-@jax.custom_vjp
-def _packed_reflect_pad3_vjp(xp: Array) -> Array:
+def _pad3_fwd_route(xp: Array) -> Array:
+    """Forward route: the one-pass Pallas band kernel when it applies
+    (nn/pallas/pad_packed.py — the XLA concat/select composition
+    re-materializes the padded tensor several times; r5 device trace),
+    else the XLA impl. Bit-identical (pure selects/copies, asserted in
+    tests/nn/test_packed_shell.py)."""
+    from .pallas.pad_packed import pad3_pallas_ok, packed_reflect_pad3_pallas
+
+    if pad3_pallas_ok(xp):
+        return packed_reflect_pad3_pallas(xp)
     return _packed_reflect_pad3_impl(xp)
 
 
+@jax.custom_vjp
+def _packed_reflect_pad3_vjp(xp: Array) -> Array:
+    return _pad3_fwd_route(xp)
+
+
 _packed_reflect_pad3_vjp.defvjp(
-    lambda xp: (_packed_reflect_pad3_impl(xp), None),
+    lambda xp: (_pad3_fwd_route(xp), None),
     lambda _, g: (packed_reflect_pad3_T(g),),
 )
 
@@ -318,7 +355,12 @@ def packed_reflect_pad3_T(g: Array) -> Array:
     production shape (measured ~1.3 ms of the head backward,
     scripts/perf_s3_parts.py); the explicit strip adds are cheap slices.
     Verified equal to ``jax.vjp(packed_reflect_pad3, x)`` in
-    tests/nn/test_packed_shell.py."""
+    tests/nn/test_packed_shell.py. Routes to the one-pass Pallas band
+    kernel where it applies (r5, nn/pallas/pad_packed.py — bit-exact)."""
+    from .pallas.pad_packed import pad3T_pallas_ok, packed_reflect_pad3_T_pallas
+
+    if pad3T_pallas_ok(g):
+        return packed_reflect_pad3_T_pallas(g)
     C4 = g.shape[-1]
     Cq = C4 // 4
     ch = jax.lax.broadcasted_iota(jnp.int32, (C4,), 0)

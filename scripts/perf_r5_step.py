@@ -96,6 +96,33 @@ def main():
                                jnp.bfloat16) * 2 - 1
         return a, b
 
+    # production-sampler-style inputs: crops dynamic-sliced from two
+    # device-RESIDENT volumes with per-step random origins — the exact op
+    # the production trainer's DeviceVolumeSampler runs, vs the harness's
+    # full-image threefry synthesis (VPU work production never does).
+    # Volumes are passed as jit ARGUMENTS (closure capture would fetch
+    # them at lowering — CLAUDE.md ir_constant trap).
+    vol_shape = (1536, 1536)
+    vols = {
+        "A": jax.random.uniform(jax.random.PRNGKey(11), vol_shape,
+                                jnp.bfloat16) * 2 - 1,
+        "B": jax.random.uniform(jax.random.PRNGKey(12), vol_shape,
+                                jnp.bfloat16) * 2 - 1,
+    }
+
+    def make_inputs_sampler(vols):
+        def make(key):
+            def crops(vol, k):
+                origins = jax.random.randint(
+                    k, (batch, 2), 0, vol_shape[0] - side)
+                return jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(vol, (o[0], o[1]),
+                                                    (side, side))
+                )(origins)[..., None]
+            ka, kb = jax.random.split(key)
+            return crops(vols["A"], ka), crops(vols["B"], kb)
+        return make
+
     def step(params, opt, key, make_inputs):
         a, b = make_inputs(key)
         gP = {"G1": params["G1"], "G2": params["G2"]}
@@ -109,12 +136,14 @@ def main():
         dP = optax.apply_updates(dP, dupd)
         return {**gP, **dP}, {"G": gos, "D": dos}, gl + dl
 
-    def make_run(unroll=1, make_inputs=make_inputs_threefry):
+    def make_run(unroll=1, make_inputs=make_inputs_threefry, sampler=False):
         @jax.jit
-        def run(params, opt, key):
+        def run(params, opt, key, vols=None):
+            mk = make_inputs_sampler(vols) if sampler else make_inputs
+
             def body(carry, k):
                 p, o = carry
-                p, o, loss = step(p, o, k, make_inputs)
+                p, o, loss = step(p, o, k, mk)
                 return (p, o), loss
             (p, o), losses = jax.lax.scan(
                 body, (params, opt), jax.random.split(key, N_STEPS),
@@ -122,16 +151,19 @@ def main():
             return jnp.sum(losses)
         return run
 
-    def time_arm(name, run):
+    def time_arm(name, run, with_vols=False):
+        extra = (vols,) if with_vols else ()
         t0 = time.perf_counter()
-        compiled = run.lower(params, opt, jax.random.PRNGKey(2)).compile()
+        compiled = run.lower(params, opt, jax.random.PRNGKey(2),
+                             *extra).compile()
         print(f"{name}: compiled in {time.perf_counter() - t0:.0f}s",
               flush=True)
-        _ = float(compiled(params, opt, jax.random.PRNGKey(2)))
+        _ = float(compiled(params, opt, jax.random.PRNGKey(2), *extra))
         best = 1e9
         for rep in range(3):
             t0 = time.perf_counter()
-            _ = float(compiled(params, opt, jax.random.PRNGKey(3 + rep)))
+            _ = float(compiled(params, opt, jax.random.PRNGKey(3 + rep),
+                               *extra))
             best = min(best, (time.perf_counter() - t0) / N_STEPS)
         print(f"{name:14s} {best*1e3:7.2f} ms/step = {1/best:.3f} steps/s",
               flush=True)
@@ -149,6 +181,9 @@ def main():
         elif arm == "rbg":
             _, results[arm] = time_arm("rbg", make_run(
                 make_inputs=make_inputs_rbg))
+        elif arm == "sampler":
+            _, results[arm] = time_arm("sampler", make_run(sampler=True),
+                                       with_vols=True)
         elif arm == "rbg-unroll2":
             _, results[arm] = time_arm(arm, make_run(
                 unroll=2, make_inputs=make_inputs_rbg))

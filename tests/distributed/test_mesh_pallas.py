@@ -41,6 +41,7 @@ FORCE_ENV = {
     "RAYGUN_FORCE_PALLAS_FCONV": "1",
     "RAYGUN_FORCE_PALLAS_RESBLOCK": "1",
     "RAYGUN_FORCE_PALLAS_IN": "1",
+    "RAYGUN_FORCE_PAD_PALLAS": "1",
 }
 
 

@@ -45,6 +45,27 @@ class TestPackedConvs:
         got = depth_to_space(stem_packed(x, w, b), (2, 2))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
+    def test_stem_fine_matches_coarse(self, monkeypatch):
+        """The opt-in FINE stem (one 8x8-tap stride-2 conv on the padded
+        fine input; measured 72 ms SLOWER at step level and rejected, see
+        stem_packed docstring) is the same sum as the default COARSE s2d
+        form — values AND gradients."""
+        x = rand(0, (2, 16, 16, 1))
+        w = rand(1, (7, 7, 1, 5)) * 0.2
+        b = rand(2, (5,)) * 0.1
+
+        def loss(x, w, b):
+            return jnp.sum(jnp.sin(stem_packed(x, w, b)))
+
+        y_c = stem_packed(x, w, b)
+        g_c = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+        monkeypatch.setenv("RAYGUN_STEM_FINE", "1")
+        y_f = stem_packed(x, w, b)
+        g_f = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+        np.testing.assert_allclose(y_f, y_c, rtol=1e-5, atol=1e-5)
+        for a, bb in zip(g_c, g_f):
+            np.testing.assert_allclose(bb, a, rtol=1e-4, atol=1e-4)
+
     def test_down0_packed(self):
         xf = rand(3, (2, 16, 16, 4))
         w = rand(4, (3, 3, 4, 6)) * 0.2
@@ -155,6 +176,56 @@ class TestPackedReflectPad:
         # packed pad spans fine [-4, N+3]; valid reflected values on [-3, N+2]
         np.testing.assert_allclose(got[:, 1:-1, 1:-1, :], ref,
                                    rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 16, 16, 128), (1, 28, 24, 256), (1, 12, 8, 512)])
+    def test_pad_pallas_bit_exact(self, shape, monkeypatch):
+        """The one-pass Pallas pad band kernel (r5, nn/pallas/pad_packed)
+        is BIT-identical to the XLA impl — pure selects/copies, no
+        arithmetic — across band sizes and edge-band layouts."""
+        from raygun_tpu.nn.packed_shell import _packed_reflect_pad3_impl
+        from raygun_tpu.nn.pallas.pad_packed import (
+            pad3_pallas_ok,
+            packed_reflect_pad3_pallas,
+        )
+
+        monkeypatch.setenv("RAYGUN_FORCE_PAD_PALLAS", "1")
+        x = rand(shape[1], shape)
+        assert pad3_pallas_ok(x)
+        a = _packed_reflect_pad3_impl(x)
+        b = packed_reflect_pad3_pallas(x)
+        assert a.shape == b.shape
+        assert bool(jnp.all(a == b)), float(jnp.max(jnp.abs(a - b)))
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 16, 16, 128), (1, 28, 24, 256), (1, 12, 8, 512)])
+    def test_padT_pallas_bit_exact(self, shape, monkeypatch):
+        """The Pallas strip-add TRANSPOSE band kernel is bit-identical to
+        the XLA strip-add impl AND to jax.vjp of the pad forward."""
+        from raygun_tpu.nn.packed_shell import (
+            _packed_reflect_pad3_impl,
+            packed_reflect_pad3_T,
+        )
+        from raygun_tpu.nn.pallas.pad_packed import (
+            pad3T_pallas_ok,
+            packed_reflect_pad3_T_pallas,
+        )
+
+        B, Hc, Wc, C4 = shape
+        g = rand(Hc, (B, Hc + 4, Wc + 4, C4))
+        monkeypatch.setenv("RAYGUN_DISABLE_PAD_PALLAS", "1")
+        ref = packed_reflect_pad3_T(g)
+        monkeypatch.delenv("RAYGUN_DISABLE_PAD_PALLAS")
+        monkeypatch.setenv("RAYGUN_FORCE_PAD_PALLAS", "1")
+        assert pad3T_pallas_ok(g)
+        got = packed_reflect_pad3_T_pallas(g)
+        assert bool(jnp.all(ref == got))
+        x = rand(Wc, (B, Hc, Wc, C4))
+        y, vjp = jax.vjp(_packed_reflect_pad3_impl, x)
+        gv = rand(7, y.shape)
+        (want,) = vjp(gv)
+        np.testing.assert_allclose(
+            packed_reflect_pad3_T_pallas(gv), want, rtol=1e-6, atol=1e-6)
 
 
 class TestPackedInstanceNorm:
