@@ -15,7 +15,9 @@ receptive-field math (and therefore blockwise stitching) is identical:
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -981,15 +983,76 @@ class ParameterizedNoiseBlock(nn.Module):
         return jnp.concatenate([x, noise], axis=-1)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _cell_max(xc: Array, F: int) -> Array:
+    return jnp.max(xc, axis=-2)
+
+
+def _cell_max_fwd(xc, F):
+    # residual: the argmax cell index (int8 — F <= 127 always here), NOT
+    # the input: the backward then never re-reads the full-res tensor
+    return jnp.max(xc, axis=-2), jnp.argmax(xc, axis=-2).astype(jnp.int8)
+
+
+def _cell_max_bwd(F, idx, g):
+    iota = jax.lax.broadcasted_iota(
+        jnp.int8, g.shape[:-1] + (F,) + g.shape[-1:], g.ndim - 1)
+    mask = iota == idx[..., None, :]
+    return (jnp.where(mask, g[..., None, :], jnp.zeros((), g.dtype)),)
+
+
+_cell_max.defvjp(_cell_max_fwd, _cell_max_bwd)
+
+
 def max_pool_nd(x: Array, factor: Sequence[int]) -> Array:
     """MaxPool with window=stride=factor, VALID (floors remainders — matches
-    torch MaxPoolNd default used by reference ``MaxDownsample``)."""
+    torch MaxPoolNd default used by reference ``MaxDownsample``).
+
+    Window == stride, so the pool is a pure CELL max: reshape the windows
+    onto one axis and reduce it, with a custom VJP that scatters the
+    cotangent to the argmax cell (pick-FIRST in row-major window order —
+    identical tie-breaking to XLA's ``select_and_scatter``, asserted with
+    ties in tests/nn/test_layers_maxpool.py). Why: XLA lowers
+    ``reduce_window``'s backward to ``select-and-scatter``, measured at
+    11 ms/step of the 260³ MTLSD train step on v5e (r5 device trace) vs
+    ~1 ms for the mask form.
+
+    Routing: ``RAYGUN_CELL_MAXPOOL=1`` selects the cell-max form (opt-in
+    until its step-level A/B is recorded — repo discipline after the r3
+    unrecorded-default finding); default and ``RAYGUN_SAS_MAXPOOL=1`` run
+    the reduce_window lowering."""
     nd = len(factor)
-    window = (1,) + tuple(factor) + (1,)
-    return jax.lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        jax.lax.max, window, window, "VALID",
+    cell_ok = (
+        os.environ.get("RAYGUN_CELL_MAXPOOL")
+        and not os.environ.get("RAYGUN_SAS_MAXPOOL")
+        and x.ndim == nd + 2
     )
+    if not cell_ok:
+        window = (1,) + tuple(factor) + (1,) * (x.ndim - 1 - nd)
+        return jax.lax.reduce_window(
+            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min,
+            jax.lax.max, window, window, "VALID",
+        )
+    spatial = x.shape[1:1 + nd]
+    crop = tuple(s - s % f for s, f in zip(spatial, factor))
+    if crop != tuple(spatial):
+        sl = (slice(None),) + tuple(slice(0, c) for c in crop) + (
+            slice(None),)
+        x = x[sl]
+    b, c = x.shape[0], x.shape[-1]
+    shape = [b]
+    for s, f in zip(crop, factor):
+        shape += [s // f, f]
+    xc = x.reshape(shape + [c])
+    # (b, S0, f0, S1, f1, ..., c) -> (b, S0, S1, ..., f0f1..., c)
+    perm = ([0] + [1 + 2 * d for d in range(nd)]
+            + [2 + 2 * d for d in range(nd)] + [1 + 2 * nd])
+    xc = xc.transpose(perm)
+    F = int(np.prod(factor))
+    out_sp = tuple(s // f for s, f in zip(crop, factor))
+    xc = xc.reshape((b,) + out_sp + (F, c))
+    return _cell_max(xc, F)
 
 
 def interpolate(x: Array, scale_factor=None, size=None, method: str = "linear") -> Array:
