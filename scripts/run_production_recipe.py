@@ -219,6 +219,15 @@ def main():
     try:
         first = next(iter(bests.values()))
         best_iter = int(first["step"])
+        # bests are evaluated at LOG boundaries (every g_steps/40), which
+        # need not align with the save grid — snap to the nearest SAVED
+        # checkpoint (the reference renders from saved checkpoints too)
+        best_iter = max(g_save, round(best_iter / g_save) * g_save)
+        ckpt_path = os.path.join(
+            cg_dir, "models", f"CycleGAN_checkpoint_{best_iter}")
+        if not os.path.exists(ckpt_path):
+            best_iter = latest_checkpoint_step(
+                os.path.join(cg_dir, "models")) or None
     except Exception:
         pass
     render_conf = {
