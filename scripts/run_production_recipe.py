@@ -277,7 +277,14 @@ def main():
         labels_p = synthetic_labels(rng_shape, num_cells=max(24, g_vol // 24),
                                     seed=23)
         raw_p30 = synthetic_raw_from_labels(labels_p, 24, **raw_kwargs)
-        raw_p90 = downsample_raw(raw_p30, 3)
+        # the 90nm acquisition of the SAME structure with INDEPENDENT
+        # acquisition noise (a different render seed), exactly how the
+        # training B-domain is made. Downsampling the target image itself
+        # would leak the target's own noise into raw_90nm (correlated
+        # errors), unfairly flattering the blur baseline — two real
+        # acquisitions never share noise.
+        raw_p90 = downsample_raw(
+            synthetic_raw_from_labels(labels_p, 25, **raw_kwargs), 3)
         vx = Coordinate(30, 30)
         roi = Roi((0, 0), Coordinate(rng_shape) * vx)
         prepare_ds(data_path, "pair_real_30nm", roi, vx, np.uint8,
