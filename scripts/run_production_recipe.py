@@ -502,6 +502,12 @@ def main():
             voi_by_step[str(validate_at[-1])] < voi_by_step[str(validate_at[0])]
         )
 
+    # interim summary: the core evidence (VOI sweep + image tables) lands
+    # even if the optional downstream/ACLSD stages are cut short
+    summary["total_wall_s"] = round(time.time() - t_start, 0)
+    with open(os.path.join(out, "recipe_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
     # ---- stage 5 (optional): downstream fake-30nm vs raw-90nm -------------
     # The reference's Fig-1 DOWNSTREAM result (BASELINE.md: link 4.52 beats
     # real_90nm 4.61 on validation VOI): train one MTLSD on the netG2-
