@@ -1017,10 +1017,13 @@ def max_pool_nd(x: Array, factor: Sequence[int]) -> Array:
     11 ms/step of the 260³ MTLSD train step on v5e (r5 device trace) vs
     ~1 ms for the mask form.
 
-    Routing: ``RAYGUN_CELL_MAXPOOL=1`` selects the cell-max form (opt-in
-    until its step-level A/B is recorded — repo discipline after the r3
-    unrecorded-default finding); default and ``RAYGUN_SAS_MAXPOOL=1`` run
-    the reduce_window lowering."""
+    Routing: ``RAYGUN_CELL_MAXPOOL=1`` selects the cell-max form —
+    measured and REJECTED at step level (r5 same-session A/B, 260³/196³
+    MTLSD train step: 506.7/507.0 vs 498.2 ms and 197.3 vs 195.5 ms):
+    the reshape/transpose cell materialization plus the int8 argmax
+    residual cost more in context than the 11 ms select-and-scatter they
+    remove. Kept opt-in with its bit-exactness tests as the
+    measured-and-rejected record; default runs reduce_window."""
     nd = len(factor)
     cell_ok = (
         os.environ.get("RAYGUN_CELL_MAXPOOL")
